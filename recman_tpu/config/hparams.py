@@ -1,0 +1,233 @@
+"""Hyperparameter/config system (reference recman/tf/hparams/).
+
+Same surface as the reference: ``HParam`` named-value wrappers, a dict-like
+registry with ``add_param`` and a ``grid_search()`` cartesian-product
+generator (BaseHyperParameters.py:67-100), and per-model subclasses that
+declare the full config surface with the reference defaults
+(hparams/xDeepFM.py:20-34). No TensorBoard hparams-plugin dependency; the
+observability module exports the grid separately.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+
+class HParam:
+    """Named parameter with a default and a discrete search domain
+    (reference BaseHyperParameters.py:5-64)."""
+
+    def __init__(self, name, default_value):
+        assert name
+        self._name = name
+        self._default_value = default_value
+        self._domain = [default_value]
+
+    def __call__(self, domain=None):
+        """Set the search domain; None resets to [default]."""
+        self._domain = list(domain) if domain is not None else [self._default_value]
+        return self
+
+    @property
+    def name(self):
+        return self._name
+
+    @property
+    def hp_domain(self):
+        return list(self._domain)
+
+    @property
+    def default_value(self):
+        return self._default_value
+
+    @property
+    def advanced_dtype(self):
+        """True when values aren't TB-plugin primitives (reference
+        BaseHyperParameters.py:41-48) — stringified on export."""
+        return not all(isinstance(v, (bool, int, float, str)) for v in self._domain)
+
+
+class BaseHyperParameters(dict):
+    """Registry of HParams; grid_search yields plain {name: value} dicts
+    (reference BaseHyperParameters.py:67-100)."""
+
+    LearningRate = "learning_rate"
+    Optimizer = "optimizer"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.LearningRate, 0.001)
+        self.add_param(self.Optimizer, "adam")
+
+    def add_param(self, name, default_val):
+        self[name] = HParam(name, default_val)()
+
+    def defaults(self) -> dict:
+        return {name: p.default_value for name, p in self.items()}
+
+    def grid_search(self, print_hp=False):
+        domains = [[(p.name, v) for v in p.hp_domain] for p in self.values()]
+        for bag in itertools.product(*domains):
+            d = dict(bag)
+            if print_hp:
+                print(d)
+            yield d
+
+
+class xDeepFMHyperParams(BaseHyperParameters):
+    """Full xDeepFM config surface with reference defaults
+    (reference hparams/xDeepFM.py:5-34)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    LinearL2Reg = "linear_l2_reg"
+    LinearFeatures = "linear_features"
+    DeepHiddenUnits = "deep_hidden_units"
+    DeepDropOut = "deep_dropout"
+    DeepActivation = "deep_activation"
+    DeepL2Reg = "deep_l2_reg"
+    CinCrossLayerUnits = "cin_cross_layer_units"
+    CinDropOut = "cin_dropout"
+    CinActivation = "cin_activation"
+    CinL2Reg = "cin_l2_reg"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.LinearL2Reg, 0.00001)
+        self.add_param(self.LinearFeatures, ())
+        self.add_param(self.DeepHiddenUnits, (32, 32))
+        self.add_param(self.DeepDropOut, (0.8, 0.8, 0.8))
+        self.add_param(self.DeepActivation, "leaky_relu")
+        self.add_param(self.DeepL2Reg, 0.00001)
+        self.add_param(self.CinCrossLayerUnits, (100, 100, 100))
+        self.add_param(self.CinDropOut, (1, 1, 1, 1))
+        self.add_param(self.CinActivation, "leaky_relu")
+        self.add_param(self.CinL2Reg, 0.00001)
+
+
+class FMHyperParams(BaseHyperParameters):
+    """FM config (capability spec from the stale reference FM.py:48-57)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    LinearL2Reg = "linear_l2_reg"
+    LinearFeatures = "linear_features"
+    FMDropOut = "fm_dropout"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.LinearL2Reg, 0.00001)
+        self.add_param(self.LinearFeatures, ())
+        self.add_param(self.FMDropOut, (1.0, 1.0))
+
+
+class DeepFMHyperParams(BaseHyperParameters):
+    """DeepFM config (capability spec from the stale reference DeepFM.py:24-90)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    LinearL2Reg = "linear_l2_reg"
+    LinearFeatures = "linear_features"
+    FMDropOut = "fm_dropout"
+    DeepHiddenUnits = "deep_hidden_units"
+    DeepDropOut = "deep_dropout"
+    DeepActivation = "deep_activation"
+    DeepL2Reg = "deep_l2_reg"
+    UseFM = "use_fm"
+    UseDeep = "use_deep"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.LinearL2Reg, 0.00001)
+        self.add_param(self.LinearFeatures, ())
+        self.add_param(self.FMDropOut, (1.0, 1.0))
+        self.add_param(self.DeepHiddenUnits, (32, 32))
+        self.add_param(self.DeepDropOut, (0.8, 0.8, 0.8))
+        self.add_param(self.DeepActivation, "relu")
+        self.add_param(self.DeepL2Reg, 0.00001)
+        self.add_param(self.UseFM, True)
+        self.add_param(self.UseDeep, True)
+
+
+class DCNHyperParams(BaseHyperParameters):
+    """DCN config (capability spec from the stale reference DCN.py:28-77)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    LinearL2Reg = "linear_l2_reg"
+    LinearFeatures = "linear_features"
+    UseLinear = "use_linear"
+    DeepHiddenUnits = "deep_hidden_units"
+    DeepDropOut = "deep_dropout"
+    DeepActivation = "deep_activation"
+    DeepL2Reg = "deep_l2_reg"
+    CrossLayerNum = "cross_layer_num"
+    CrossLayerL2Reg = "cross_layer_l2_reg"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.LinearL2Reg, 0.00001)
+        self.add_param(self.LinearFeatures, ())
+        self.add_param(self.UseLinear, True)
+        self.add_param(self.DeepHiddenUnits, (32, 32))
+        self.add_param(self.DeepDropOut, (0.6, 0.6, 0.6))
+        self.add_param(self.DeepActivation, "relu")
+        self.add_param(self.DeepL2Reg, 0.0)
+        self.add_param(self.CrossLayerNum, 3)
+        self.add_param(self.CrossLayerL2Reg, 0.0)
+
+
+class AFMHyperParams(BaseHyperParameters):
+    """AFM config (capability spec from the stale reference AFM.py:20-60)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    LinearL2Reg = "linear_l2_reg"
+    LinearFeatures = "linear_features"
+    AttFactor = "att_factor"
+    AttDropOut = "att_dropout"
+    AttL2Reg = "att_l2_reg"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.LinearL2Reg, 0.00001)
+        self.add_param(self.LinearFeatures, ())
+        self.add_param(self.AttFactor, 4)
+        self.add_param(self.AttDropOut, 1.0)
+        self.add_param(self.AttL2Reg, 0.0)
+
+
+class DINHyperParams(BaseHyperParameters):
+    """DIN config (capability spec from the incomplete reference DIN.py:20-60)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    AttHiddenUnits = "att_hidden_units"
+    AttActivation = "att_activation"
+    AttWeightNormalization = "att_weight_normalization"
+    DeepHiddenUnits = "deep_hidden_units"
+    DeepDropOut = "deep_dropout"
+    DeepActivation = "deep_activation"
+    DeepL2Reg = "deep_l2_reg"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.AttHiddenUnits, (80, 40))
+        self.add_param(self.AttActivation, "dice")
+        self.add_param(self.AttWeightNormalization, False)
+        self.add_param(self.DeepHiddenUnits, (80, 40))
+        self.add_param(self.DeepDropOut, (1.0, 1.0, 1.0))
+        self.add_param(self.DeepActivation, "dice")
+        self.add_param(self.DeepL2Reg, 0.00001)

@@ -1,0 +1,39 @@
+from .encoders import (
+    OOV_ID,
+    PAD_ID,
+    MinMaxScaler,
+    MultiValVocabEncoder,
+    StandardScaler,
+    VocabEncoder,
+    hash_bucket,
+)
+from .schema import (
+    DenseFeat,
+    Feature,
+    FeatureSet,
+    HashedSparseFeat,
+    MultiValCsvFeat,
+    MultiValSparseFeat,
+    SequenceFeat,
+    SparseFeat,
+    SparseValueFeat,
+)
+
+__all__ = [
+    "OOV_ID",
+    "PAD_ID",
+    "MinMaxScaler",
+    "MultiValVocabEncoder",
+    "StandardScaler",
+    "VocabEncoder",
+    "hash_bucket",
+    "DenseFeat",
+    "Feature",
+    "FeatureSet",
+    "HashedSparseFeat",
+    "MultiValCsvFeat",
+    "MultiValSparseFeat",
+    "SequenceFeat",
+    "SparseFeat",
+    "SparseValueFeat",
+]

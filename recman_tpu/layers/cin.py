@@ -1,0 +1,119 @@
+"""Compressed Interaction Network — xDeepFM's core (arXiv:1803.05170).
+
+Reference: recman/tf/core/layers.py:631-777. The reference computes each
+layer by splitting along the embedding dim into D unit tensors, batching a
+matmul over them, and running conv1d with filters (1, Hk*H0, size)
+(layers.py:711-736) — a TF-shaped formulation. The TPU-native form is two
+einsums (an outer product + an MXU contraction) with identical semantics,
+validated against the notebook's hand-computed toy tensors
+(notes/xDeepFM.ipynb cells 6-7):
+
+    z_k[b, d, h*Hk + m] = x0[b, h, d] * xk[b, m, d]     # vector-wise outer
+    fmap[b, d, o]       = sum_x z_k[b, d, x] * W_k[x, o] + bias_k[o]
+
+Per layer: activation, transpose to (B, size, D), dropout (keep-prob), then
+the half-split: the FIRST size/2 maps feed the next layer, the second half
+are "direct connect" outputs; the last layer is all direct connect
+(layers.py:742-752). Direct outputs concat, sum-pool over the embedding dim,
+and project to one logit (layers.py:754-760).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils import glorot_normal, glorot_uniform, l2_loss
+from .common import dropout, resolve_activation, split_rng
+
+
+class CIN:
+    """Param names match the reference: ``cin_filter_{i}`` (H0*Hk, size),
+    ``cin_bias_{i}`` (size,), ``cin_w`` (final_size, 1), ``cin_w0`` (1,)."""
+
+    def __init__(
+        self,
+        field_size,
+        cross_layer_units,
+        activation,
+        dropout_keep,
+        l2_reg=1e-5,
+        prefix="",
+    ):
+        assert len(cross_layer_units) > 0
+        assert len(cross_layer_units) + 1 == len(dropout_keep)
+        for size in cross_layer_units[:-1]:
+            assert size % 2 == 0, "non-final CIN layer width must be even (half-split)"
+
+        self.field_size = field_size
+        self.cross_layer_units = tuple(cross_layer_units)
+        self.activation = resolve_activation(activation)
+        self.dropout_keep = tuple(dropout_keep)
+        self.l2_reg = l2_reg
+        self.prefix = prefix
+
+        # field_nums[i] = H_i, the fan-in of layer i (reference layers.py:659-685)
+        self.field_nums = [field_size]
+        final_size = 0
+        for i, size in enumerate(self.cross_layer_units):
+            self.field_nums.append(size // 2)
+            final_size += size // 2 if i != len(self.cross_layer_units) - 1 else size
+        self.final_size = final_size
+
+    def init(self, key) -> dict:
+        keys = split_rng(key, len(self.cross_layer_units) + 1)
+        params = {}
+        h0 = self.field_nums[0]
+        for i, size in enumerate(self.cross_layer_units):
+            hk = self.field_nums[i]
+            params[f"{self.prefix}cin_filter_{i}"] = glorot_normal(
+                keys[i], (h0 * hk, size)
+            )
+            params[f"{self.prefix}cin_bias_{i}"] = jnp.zeros((size,), dtype=jnp.float32)
+        params[f"{self.prefix}cin_w"] = glorot_uniform(keys[-1], (self.final_size, 1))
+        params[f"{self.prefix}cin_w0"] = jnp.zeros((1,), dtype=jnp.float32)
+        return params
+
+    def apply(self, params, inputs, training=True, rng=None):
+        assert inputs.ndim == 3  # (B, F, D)
+        B, H0, D = inputs.shape
+        rngs = split_rng(rng, len(self.cross_layer_units) + 1)
+
+        x0 = dropout(rngs[0], inputs, self.dropout_keep[0], training)
+        xk = x0
+        finals = []
+
+        for i, size in enumerate(self.cross_layer_units):
+            hk = xk.shape[1]
+            # vector-wise outer product, flattened h-major to match the
+            # reference's reshape of (D, B, H0, Hk) (layers.py:721-726)
+            z = jnp.einsum("bhd,bmd->bdhm", x0, xk).reshape(B, D, H0 * hk)
+            fmap = (
+                jnp.einsum(
+                    "bdx,xo->bdo",
+                    z,
+                    params[f"{self.prefix}cin_filter_{i}"],
+                    preferred_element_type=jnp.float32,
+                )
+                + params[f"{self.prefix}cin_bias_{i}"]
+            )
+            fmap = self.activation(fmap)
+            fmap = jnp.transpose(fmap, (0, 2, 1))  # (B, size, D)
+            fmap = dropout(rngs[i + 1], fmap, self.dropout_keep[i + 1], training)
+
+            if i != len(self.cross_layer_units) - 1:
+                xk = fmap[:, : size // 2, :]
+                direct = fmap[:, size // 2 :, :]
+            else:
+                direct = fmap
+            finals.append(direct)
+
+        result = jnp.concatenate(finals, axis=1)  # (B, final_size, D)
+        result = jnp.sum(result, axis=-1)  # (B, final_size)
+        return result @ params[f"{self.prefix}cin_w"] + params[f"{self.prefix}cin_w0"]
+
+    def l2(self, params):
+        """Filters + head (reference layers.py:762-777)."""
+        total = self.l2_reg * l2_loss(params[f"{self.prefix}cin_w"])
+        for i in range(len(self.cross_layer_units)):
+            total += self.l2_reg * l2_loss(params[f"{self.prefix}cin_filter_{i}"])
+        return total

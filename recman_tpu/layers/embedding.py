@@ -1,0 +1,147 @@
+"""Embedding layer: per-feature tables, typed lookup dispatch, sqrtn combine.
+
+TPU-native counterpart of FeatEmbedding / FeatEmbeddingLayer (reference
+recman/tf/core/layers.py:68-267). Tables are created eagerly at init (the
+reference upserts them lazily on first call, layers.py:95-110 — a property
+its checkpointing depends on; params existing before step 0 is strictly
+better). Lookup dispatch by feature type mirrors layers.py:117-184:
+
+- SparseFeat        -> table[id]                                  (B, 1, k)
+- SparseValueFeat   -> table[id] * value                          (B, 1, k)
+- MultiVal*Feat     -> sqrtn-combine over present ids             (B, 1, k)
+- SequenceFeat      -> lookup into the TIED id-feature table,
+                       padding rows zeroed                        (B, L, k)
+
+"sqrtn" combine = sum(rows)/sqrt(count), the reference's
+embedding_lookup_sparse combiner (layers.py:150-156). Padding ids (PAD_ID)
+are masked out; OOV id 0 participates — exactly like the reference, where
+unknown CSV tags map to hash-table default 0 and are still looked up
+(utils.py:117-123).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..features import (
+    DenseFeat,
+    MultiValCsvFeat,
+    MultiValSparseFeat,
+    SequenceFeat,
+    SparseFeat,
+    SparseValueFeat,
+)
+from ..utils import glorot_normal, l2_loss
+from .common import split_rng
+
+
+def sqrtn_combine(table, ids):
+    """Combine rows of ``table`` for padded id lists ``ids`` (B, L).
+
+    Returns (B, k): sum of present rows / sqrt(#present). Rows with no
+    present ids yield zeros.
+    """
+    mask = (ids >= 0).astype(table.dtype)  # (B, L)
+    rows = jnp.take(table, jnp.maximum(ids, 0), axis=0)  # (B, L, k)
+    summed = jnp.einsum("blk,bl->bk", rows, mask)
+    count = jnp.sum(mask, axis=1, keepdims=True)
+    return summed * jnp.where(count > 0, 1.0 / jnp.sqrt(jnp.maximum(count, 1.0)), 0.0)
+
+
+class EmbeddingLayer:
+    """All embedding tables for a FeatureSet; returns concat field embeddings.
+
+    Reference: FeatEmbeddingLayer (layers.py:196-267). Param names match the
+    reference variable names: ``{prefix}{feat}_feat_embed`` (feat_size, k)
+    and ``{prefix}{feat}_feat_bias`` (feat_size, 1).
+    """
+
+    def __init__(self, feature_set, embedding_size, l2_reg=1e-5, use_bias=True, prefix=""):
+        self.feats = feature_set.embedding_feats
+        self.embedding_size = embedding_size
+        self.l2_reg = l2_reg
+        self.use_bias = use_bias
+        self.prefix = prefix
+
+    @property
+    def field_size(self) -> int:
+        """Number of field slots on the concat axis (sequence feats occupy
+        max_len slots, reference layers.py:171-184 + concat at 238-261)."""
+        return sum(
+            f.max_len if isinstance(f, SequenceFeat) else 1 for f in self.feats
+        )
+
+    def _owns_table(self, feat) -> bool:
+        return not isinstance(feat, SequenceFeat)  # sequence feats tie to id_feat
+
+    def init(self, key) -> dict:
+        params = {}
+        owners = [f for f in self.feats if self._owns_table(f)]
+        keys = split_rng(key, max(len(owners), 1))
+        for sub, feat in zip(keys, owners):
+            name = f"{self.prefix}{feat.name}_feat_embed"
+            params[name] = glorot_normal(sub, (feat.feat_size, self.embedding_size))
+            if self.use_bias:
+                params[f"{self.prefix}{feat.name}_feat_bias"] = jnp.zeros(
+                    (feat.feat_size, 1), dtype=jnp.float32
+                )
+        return params
+
+    def _tables(self, params, feat):
+        owner = feat.id_feat.name if isinstance(feat, SequenceFeat) else feat.name
+        table = params[f"{self.prefix}{owner}_feat_embed"]
+        bias = params.get(f"{self.prefix}{owner}_feat_bias") if self.use_bias else None
+        return table, bias
+
+    def _lookup(self, params, feat, batch):
+        """Per-feature lookup -> (embeds (B, n_slots, k), bias (B, n_slots, 1))."""
+        table, bias_table = self._tables(params, feat)
+
+        def one(t, width):
+            if isinstance(feat, SparseFeat):
+                return jnp.take(t, batch[feat.name], axis=0)[:, None, :]
+            if isinstance(feat, SparseValueFeat):
+                rows = jnp.take(t, batch[feat.name], axis=0)
+                return (rows * batch[feat.value_key][:, None])[:, None, :]
+            if isinstance(feat, (MultiValCsvFeat, MultiValSparseFeat)):
+                return sqrtn_combine(t, batch[feat.name])[:, None, :]
+            if isinstance(feat, SequenceFeat):
+                ids = batch[feat.name]
+                mask = (ids >= 0).astype(t.dtype)[:, :, None]
+                return jnp.take(t, jnp.maximum(ids, 0), axis=0) * mask
+            raise NotImplementedError(type(feat))
+
+        embeds = one(table, self.embedding_size)
+        bias = one(bias_table, 1) if bias_table is not None else None
+        return embeds, bias
+
+    def apply(self, params, batch):
+        """Concat lookups along the field axis.
+
+        Returns (embeds (B, F, k), bias (B, F, 1) | None) — reference
+        FeatEmbeddingLayer.__call__ (layers.py:238-261).
+        """
+        embeds, biases = [], []
+        for feat in self.feats:
+            e, b = self._lookup(params, feat, batch)
+            embeds.append(e)
+            if b is not None:
+                biases.append(b)
+        out = jnp.concatenate(embeds, axis=1)
+        bias = jnp.concatenate(biases, axis=1) if (self.use_bias and biases) else None
+        return out, bias
+
+    def apply_dict(self, params, batch) -> dict:
+        """Per-feature embeddings keyed by name (for DIN's query/key split,
+        reference DIN.py:90-95 uses feat_embeds_dict)."""
+        return {f.name: self._lookup(params, f, batch)[0] for f in self.feats}
+
+    def l2(self, params):
+        """Summed per-table L2 (reference layers.py:188-193, 263-267)."""
+        total = 0.0
+        for feat in self.feats:
+            if self._owns_table(feat):
+                total += self.l2_reg * l2_loss(
+                    params[f"{self.prefix}{feat.name}_feat_embed"]
+                )
+        return total

@@ -1,0 +1,159 @@
+"""Feature-system unit tests (reference behaviors from recman/tf/inputs.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from recman_tpu.features import (
+    PAD_ID,
+    DenseFeat,
+    FeatureSet,
+    HashedSparseFeat,
+    MinMaxScaler,
+    MultiValCsvFeat,
+    MultiValSparseFeat,
+    SequenceFeat,
+    SparseFeat,
+    SparseValueFeat,
+    VocabEncoder,
+    hash_bucket,
+)
+
+
+class TestVocabEncoder:
+    def test_oov_reserved_zero(self):
+        # reference ResilientLabelEncoder: index 0 = sentinel (inputs.py:122-126)
+        enc = VocabEncoder().fit(["b", "a", "c", "a"])
+        assert enc.vocab_size == 4  # 3 classes + OOV
+        out = enc.transform(["a", "b", "c", "zzz"])
+        assert out.tolist() == [1, 2, 3, 0]
+
+    def test_inverse(self):
+        enc = VocabEncoder().fit(["x", "y"])
+        inv = enc.inverse_transform(np.array([1, 2, 0]))
+        assert inv.tolist() == ["x", "y", None]
+
+
+class TestSparseFeat:
+    def test_feat_size_plus_one(self):
+        # reference: feat_size = n+1 (inputs.py:166)
+        f = SparseFeat("f", feat_size=5)
+        assert f.feat_size == 6
+
+    def test_transform(self):
+        f = SparseFeat("f", feat_size=3)
+        f.initialize(pd.Series(["a", "b", "c", "a"]))
+        out = f.transform(pd.Series(["b", "nope", "c"]))
+        assert out["f"].tolist() == [2, 0, 3]
+        assert out["f"].dtype == np.int32
+
+    def test_weight_override_vector(self):
+        # reference inputs.py:170-189 + set_weights
+        f = SparseFeat("f", feat_size=3)
+        f.initialize(pd.Series(["a", "b", "c"]))
+        f.set_weights({"b": -5.0})
+        w = f.weights
+        assert w.shape == (4,)
+        assert w[2] == -5.0 and w.sum() == -5.0
+
+
+class TestSparseValueFeat:
+    def test_transform_splits_id_value(self):
+        f = SparseValueFeat("f", feat_size=2)
+        f.initialize(pd.Series([["x", 3], ["y", 2]]))
+        out = f.transform(pd.Series([["x", 3], ["y", 2], ["zz", 7]]))
+        assert out["f"].tolist() == [1, 2, 0]
+        np.testing.assert_allclose(out["f:value"], [3.0, 2.0, 7.0])
+
+
+class TestDenseFeat:
+    def test_minmax(self):
+        f = DenseFeat("d", scaler="minmax")
+        f.initialize(pd.Series([0.0, 5.0, 10.0]))
+        out = f.transform(pd.Series([5.0]))
+        np.testing.assert_allclose(out["d"], [0.5])
+
+    def test_standard(self):
+        f = DenseFeat("d")
+        vals = pd.Series([1.0, 2.0, 3.0])
+        f.initialize(vals)
+        out = f.transform(vals)["d"]
+        np.testing.assert_allclose(out.mean(), 0.0, atol=1e-6)
+
+
+class TestMultiValCsv:
+    def test_tags_and_unknown(self):
+        # known tags -> 1..n, unknown -> OOV 0, padding -> PAD_ID
+        f = MultiValCsvFeat("g", tags=("a", "b", "c"))
+        assert f.feat_size == 4
+        out = f.transform(pd.Series(["a|c", "zz|b", ""]))["g"]
+        assert out.shape == (3, 3)
+        assert out[0].tolist() == [1, 3, PAD_ID]
+        assert out[1].tolist() == [0, 2, PAD_ID]
+        assert out[2].tolist() == [PAD_ID, PAD_ID, PAD_ID]
+
+    def test_weights_by_tag(self):
+        f = MultiValCsvFeat("g", tags=("a", "b"))
+        f.set_weights({"b": -5.0, "nope": 3.0})
+        w = f.weights
+        assert w.tolist() == [0.0, 0.0, -5.0]
+
+
+class TestMultiValSparse:
+    def test_padded_encode(self):
+        f = MultiValSparseFeat("m", max_len=4)
+        col = pd.Series([["a", "b"], ["c"], ["a", "zzz"]])
+        f.initialize(col)
+        out = f.transform(pd.Series([["a", "b"], ["c"], ["a", "nope"]]))["m"]
+        assert out.shape == (3, 4)
+        assert out[0].tolist() == [1, 2, PAD_ID, PAD_ID]
+        assert out[2].tolist() == [1, 0, PAD_ID, PAD_ID]
+
+
+class TestSequenceFeat:
+    def test_tied_vocab(self):
+        # the reference declares but never implements this (inputs.py:443)
+        id_feat = SparseFeat("item", feat_size=3)
+        id_feat.initialize(pd.Series(["i1", "i2", "i3"]))
+        f = SequenceFeat("hist", id_feat=id_feat, max_len=3)
+        assert f.feat_size == id_feat.feat_size
+        out = f.transform(pd.Series([["i1", "i3"], ["i2"]]))["hist"]
+        assert out[0].tolist() == [1, 3, PAD_ID]
+        assert out[1].tolist() == [2, PAD_ID, PAD_ID]
+
+
+class TestHashing:
+    def test_stable_and_bounded(self):
+        a = hash_bucket(np.array(["x", "y", "x"]), 100)
+        b = hash_bucket(np.array(["x", "y", "x"]), 100)
+        assert a.tolist() == b.tolist()
+        assert a[0] == a[2]
+        assert (a >= 0).all() and (a < 100).all()
+
+    def test_hashed_sparse_feat(self):
+        f = HashedSparseFeat("h", num_buckets=50)
+        out = f.transform(pd.Series(["a", "", "b"]))["h"]
+        assert out[1] == 0  # missing -> null row
+        assert (out[[0, 2]] > 0).all()
+
+
+class TestFeatureSet:
+    def test_accessors_and_transform(self, synthetic_df, synthetic_features):
+        fs = synthetic_features
+        assert len(fs.sparse_feats) == 3
+        assert len(fs.multi_val_csv_feats) == 1
+        assert len(fs.embedding_feats) == 4
+        batch = fs.transform(synthetic_df, y=synthetic_df["LABEL"].values)
+        assert batch["USER_ID"].shape == (16,)
+        assert batch["HISTORICAL_CATEGORIES"].shape == (16, 4)
+        assert batch["y"].dtype == np.float32
+
+    def test_linear_features_default_order(self, synthetic_features):
+        # reference utils.py:27-36
+        feats = synthetic_features.linear_features()
+        names = [f.name for f in feats]
+        assert names == ["USER_ID", "CLASS_ID", "CATEGORY", "HISTORICAL_CATEGORIES"]
+
+    def test_linear_features_selector(self, synthetic_features):
+        feats = synthetic_features.linear_features("CATEGORY,USER_ID")
+        assert [f.name for f in feats] == ["CATEGORY", "USER_ID"]
