@@ -1,0 +1,74 @@
+"""Checkpoint save/restore via Orbax + schema/hparam sidecars.
+
+Reference: name-keyed flat variable dict -> tf.train.Checkpoint
+(DeepModel.py:83-86) with dill-pickled hparams / feat_dict sidecars written
+by BestModelFinder (BestModelFinder.py:57-68). Here the whole TrainState
+pytree (params + optimizer state + step + rng) is checkpointed — so resume
+continues Adam moments exactly — alongside JSON/pickle sidecars. Orbax
+handles sharded arrays transparently, so the same call works for
+row-sharded embedding tables on a mesh.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+
+log = logging.getLogger(__name__)
+
+STATE_DIR = "state"
+HPARAMS_FILE = "hparams.json"
+FEAT_DICT_FILE = "feat_dict.pkl"
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(directory, state, hparams=None, feat_dict=None):
+    """Write TrainState + sidecars under ``directory``."""
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+
+    ckptr = _checkpointer()
+    path = os.path.join(directory, STATE_DIR)
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+
+    if hparams is not None:
+        clean = {
+            k: (v if isinstance(v, (bool, int, float, str)) else str(v))
+            for k, v in dict(hparams).items()
+        }
+        with open(os.path.join(directory, HPARAMS_FILE), "w") as f:
+            json.dump(clean, f, indent=2)
+    if feat_dict is not None:
+        with open(os.path.join(directory, FEAT_DICT_FILE), "wb") as f:
+            pickle.dump(feat_dict, f, protocol=pickle.HIGHEST_PROTOCOL)
+    log.info("Checkpoint saved to %s", directory)
+
+
+def restore_checkpoint(directory, state_template):
+    """Restore a TrainState matching ``state_template``'s structure/shapes
+    (the reference requires one forward pass before restore because of lazy
+    variables, DeepModel.py:83-86; our params exist at init so the template
+    is always available)."""
+    directory = os.path.abspath(directory)
+    ckptr = _checkpointer()
+    restored = ckptr.restore(os.path.join(directory, STATE_DIR), state_template)
+    log.info("Checkpoint restored from %s", directory)
+    return restored
+
+
+def load_feat_dict(directory):
+    with open(os.path.join(directory, FEAT_DICT_FILE), "rb") as f:
+        return pickle.load(f)
+
+
+def load_hparams(directory):
+    with open(os.path.join(directory, HPARAMS_FILE)) as f:
+        return json.load(f)

@@ -1,0 +1,118 @@
+"""Optimizer factory + jitted train/eval steps.
+
+The reference's per-batch flow (xDeepFM.fit_on_batch, xDeepFM.py:116-126)
+re-creates the Adam optimizer every step — resetting its moments, a real
+defect (SURVEY.md §2.3) — and re-encodes features on host. Here the whole
+step is one compiled, donated function:
+
+    state, loss = train_step(state, data, idx)
+
+``data`` is the full pre-encoded dataset resident on device; ``idx`` is the
+shuffled index slice for this mini-batch (padded with -1 to a static batch
+size — padded rows get zero loss weight, so every step has identical shapes
+and XLA compiles exactly once). The gather happens on device, so the host
+never touches feature arrays inside the hot loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def create_optimizer(optimizer, learning_rate, **kwargs) -> optax.GradientTransformation:
+    """Name -> optax transformation (reference utils.py:201-213 surface:
+    adam / adagrad / gd / momentum; plus lamb for the large-batch recipe).
+
+    ``learning_rate`` may be a float or an optax schedule.
+    """
+    if not isinstance(optimizer, str):
+        return optimizer  # already a GradientTransformation
+    name = optimizer.lower()
+    if name == "adam":
+        return optax.adam(learning_rate, **kwargs)
+    if name == "adagrad":
+        return optax.adagrad(learning_rate, **kwargs)
+    if name in ("gd", "sgd"):
+        return optax.sgd(learning_rate, **kwargs)
+    if name == "momentum":
+        return optax.sgd(learning_rate, momentum=kwargs.pop("momentum", 0.9), **kwargs)
+    if name == "lamb":
+        return optax.lamb(learning_rate, **kwargs)
+    raise ValueError(f"unknown optimizer {optimizer!r}")
+
+
+class TrainState(NamedTuple):
+    """Carried training state (donated through the jitted step)."""
+
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+
+def init_state(model, optimizer, rng) -> TrainState:
+    init_rng, state_rng = jax.random.split(rng)
+    params = model.init_params(init_rng)
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), dtype=jnp.int32),
+        rng=state_rng,
+    )
+
+
+def gather_batch(data: dict, idx) -> tuple[dict, jnp.ndarray]:
+    """Device-side batch gather: rows ``idx`` of every array in ``data``.
+
+    idx entries < 0 are padding; returns (batch, weights) where weights
+    zero out padded rows.
+    """
+    weights = (idx >= 0).astype(jnp.float32)
+    safe = jnp.maximum(idx, 0)
+    batch = {k: jnp.take(v, safe, axis=0) for k, v in data.items()}
+    return batch, weights
+
+
+def make_train_step(model, optimizer):
+    """Build the compiled train step for ``model``; state is donated so
+    params/opt-state update in place in HBM."""
+
+    def step_fn(state: TrainState, data: dict, idx) -> tuple[TrainState, jnp.ndarray]:
+        rng, dropout_rng = jax.random.split(state.rng)
+        batch, weights = gather_batch(data, idx)
+
+        def loss_fn(params):
+            return model.loss(
+                params, batch, training=True, rng=dropout_rng, weights=weights
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, opt_state, state.step + 1, rng),
+            loss,
+        )
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(model):
+    """Compiled batched forward: (params, data, idx, override) -> (B,) preds.
+
+    ``training`` is a static arg — the reference evaluates during fit with
+    training=True (DeepModel.py:103-111, dropout live in eval metrics — a
+    quirk we support but don't default to)."""
+
+    def step_fn(params, data, idx, override, training: bool):
+        batch, _ = gather_batch(data, idx)
+        rng = jax.random.PRNGKey(0) if training else None
+        return model.apply(
+            params, batch, training=training, rng=rng, linear_override=override
+        )
+
+    return jax.jit(step_fn, static_argnames=("training",))

@@ -1,0 +1,278 @@
+"""Trainer: sklearn-style fit / predict / evaluate with a compiled hot loop.
+
+Mirrors the reference estimator surface (DeepModel.py:17-228: fit with
+per-epoch shuffle + eval + TB logging + epoch callback, batched predict,
+evaluate, restore) with the TPU execution model:
+
+- the dataset is encoded ONCE and lives on device; mini-batches are
+  device-side gathers of shuffled index slices (vs. the reference's
+  per-batch host sklearn encoding, DataInputs.load in the hot loop)
+- one held optimizer + donated jitted train step (the reference recreates
+  Adam per batch, xDeepFM.py:121-126 — defect not replicated)
+- the final partial batch is padded to the static batch size and masked,
+  so XLA compiles exactly one step executable
+- eval during fit defaults to training=False; pass
+  ``eval_in_training_mode=True`` to reproduce the reference's
+  dropout-in-eval quirk (DeepModel.py:103-111)
+"""
+
+from __future__ import annotations
+
+import logging
+from time import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BaseHyperParameters
+from .train_step import (
+    TrainState,
+    create_optimizer,
+    init_state,
+    make_eval_step,
+    make_train_step,
+)
+
+log = logging.getLogger(__name__)
+
+
+def batch_indices(n: int, batch_size: int, shuffle_seed=None) -> np.ndarray:
+    """(num_batches, batch_size) int32 index matrix, -1-padded at the tail.
+
+    num_batches follows the reference's ``len // bs + 1`` (DeepModel.py:188,
+    49): a full final slice yields one extra all-padding batch, which the
+    masked loss turns into a no-op — kept for step-count parity.
+    """
+    order = np.arange(n)
+    if shuffle_seed is not None:
+        order = np.random.RandomState(shuffle_seed).permutation(n)
+    num_batches = n // batch_size + 1
+    padded = np.full((num_batches * batch_size,), -1, dtype=np.int32)
+    padded[:n] = order
+    return padded.reshape(num_batches, batch_size)
+
+
+class Trainer:
+    """Drives a zoo model. ``hparams`` needs learning_rate/optimizer
+    (reference BaseHyperParameters.py:72-79); everything model-specific
+    already lives in the model object."""
+
+    def __init__(
+        self,
+        model,
+        hparams: dict | None = None,
+        metrics=(),
+        epoch=10,
+        batch_size=64,
+        random_seed=2019,
+        eval_in_training_mode=False,
+    ):
+        hp = hparams or {}
+        self.model = model
+        self.hparams = hp
+        self.metrics = tuple(metrics)
+        self.epoch = epoch
+        self.batch_size = batch_size
+        self.random_seed = random_seed
+        self.eval_in_training_mode = eval_in_training_mode
+
+        self.optimizer = create_optimizer(
+            hp.get(BaseHyperParameters.Optimizer, "adam"),
+            hp.get(BaseHyperParameters.LearningRate, 0.001),
+        )
+        self._train_step = make_train_step(model, self.optimizer)
+        self._eval_step = make_eval_step(model)
+        self.state: TrainState = init_state(
+            model, self.optimizer, jax.random.PRNGKey(random_seed)
+        )
+
+    # -- data plumbing -----------------------------------------------------
+    def _to_device(self, X, y=None) -> dict:
+        """DataFrame -> encoded device arrays (or pass through a dict that
+        is already encoded)."""
+        if isinstance(X, dict):
+            data = dict(X)
+            if y is not None:
+                data["y"] = np.asarray(y, dtype=np.float32)
+        else:
+            data = self.model.feat_dict.transform(X, y)
+        if "y" not in data:
+            data["y"] = np.zeros(len(next(iter(data.values()))), dtype=np.float32)
+        return {k: jnp.asarray(v) for k, v in data.items()}
+
+    def _override(self):
+        """Linear-tower weight-override vector, rebuilt from the live
+        feature schema each call (so set_weights takes effect immediately,
+        reference layers.py:338-345)."""
+        linear = getattr(self.model, "linear", None)
+        if linear is None:
+            return None
+        return jnp.asarray(linear.override_vector())
+
+    # -- public surface (reference DeepModel.py) ---------------------------
+    @property
+    def params(self) -> dict:
+        return self.state.params
+
+    def predict(self, X, training=False, batch_number_to_show_progress=50):
+        """Batched forward (reference DeepModel.py:45-70). ``training=True``
+        keeps dropout live, as the reference's in-fit eval does."""
+        data = self._to_device(X)
+        n = int(data["y"].shape[0])
+        idx = batch_indices(n, self.batch_size)
+        override = None if training else self._override()
+
+        outs = []
+        for i in range(idx.shape[0]):
+            preds = self._eval_step(
+                self.state.params, data, jnp.asarray(idx[i]), override, training
+            )
+            outs.append(np.asarray(preds))
+            if i % batch_number_to_show_progress == 0:
+                log.debug("Predict: %d/%d batches", i + 1, idx.shape[0])
+        return np.concatenate(outs)[:n]
+
+    def evaluate(self, X, y, training=False):
+        """[metric(y, pred) for metric in metrics] (reference DeepModel.py:72-74)."""
+        pred = self.predict(X, training=training)
+        y = np.asarray(y, dtype=np.float32)
+        return [metric(y, pred) for metric in self.metrics]
+
+    def fit_on_batch(self, data: dict, idx) -> float:
+        """Single compiled step (reference fit_on_batch, xDeepFM.py:116-126)."""
+        self.state, loss = self._train_step(self.state, data, jnp.asarray(idx))
+        return float(loss)
+
+    def _eval_at_epoch(self, data_train, y_train, X_valid, y_valid, start_time, epoch):
+        """Per-epoch train/valid metric log (reference DeepModel.py:92-131)."""
+        training = self.eval_in_training_mode
+        train_pred = self._predict_device(data_train, training)
+        train_res = [m(y_train, train_pred) for m in self.metrics]
+        valid_res = None
+        if X_valid is not None and y_valid is not None:
+            valid_res = self.evaluate(X_valid, y_valid, training=training)
+            log.info(
+                "[%d] train-result=%s, valid-result=%s [%.1f s]",
+                epoch,
+                [(str(m), round(r, 4)) for m, r in zip(self.metrics, train_res)],
+                [(str(m), round(r, 4)) for m, r in zip(self.metrics, valid_res)],
+                time() - start_time,
+            )
+        else:
+            log.info(
+                "[%d] train-result=%s [%.1f s]",
+                epoch,
+                [(str(m), round(r, 4)) for m, r in zip(self.metrics, train_res)],
+                time() - start_time,
+            )
+        return train_res, valid_res
+
+    def _predict_device(self, data: dict, training: bool) -> np.ndarray:
+        n = int(data["y"].shape[0])
+        idx = batch_indices(n, self.batch_size)
+        override = None if training else self._override()
+        outs = [
+            np.asarray(
+                self._eval_step(
+                    self.state.params, data, jnp.asarray(idx[i]), override, training
+                )
+            )
+            for i in range(idx.shape[0])
+        ]
+        return np.concatenate(outs)[:n]
+
+    def fit(
+        self,
+        X_train,
+        y_train,
+        X_valid=None,
+        y_valid=None,
+        random_seed_for_mini_batch=True,
+        tb_logger=None,
+        epoch_callback=None,
+        batch_number_to_show_progress=50,
+    ):
+        """Reference fit loop shape (DeepModel.py:141-228): epoch-0 eval
+        (with an optional profiler trace), per-epoch reshuffle + step loop +
+        eval + TB log + callback."""
+        assert X_train is not None and y_train is not None
+
+        if tb_logger is not None:
+            tb_logger.configure_hparams(self.hparams, self.metrics)
+
+        data = self._to_device(X_train, y_train)
+        y_np = np.asarray(y_train, dtype=np.float32)
+        n = len(y_np)
+
+        if tb_logger is not None:
+            tb_logger.trace_on(epoch=0)
+        eval_results = self._eval_at_epoch(
+            data, y_np, X_valid, y_valid, time(), epoch=0
+        )
+        if tb_logger is not None:
+            tb_logger.trace_off(epoch=0)
+            tb_logger.log_params(
+                epoch=0,
+                eval_results=eval_results,
+                metrics=self.metrics,
+                variables=self.state.params,
+            )
+
+        for epoch in range(1, self.epoch + 1):
+            start_time = time()
+            if random_seed_for_mini_batch:
+                seed = np.random.randint(1, 2019)  # DeepModel.py:183
+            else:
+                seed = self.random_seed
+            idx = batch_indices(n, self.batch_size, shuffle_seed=seed)
+
+            losses = []
+            for i in range(idx.shape[0]):
+                if tb_logger is not None and i % batch_number_to_show_progress == 0:
+                    tb_logger.trace_on(epoch)
+                losses.append(self.fit_on_batch(data, idx[i]))
+                if tb_logger is not None and i % batch_number_to_show_progress == 0:
+                    tb_logger.trace_off(epoch)
+                if i % batch_number_to_show_progress == 0:
+                    log.debug("Fit: %d/%d batches", i + 1, idx.shape[0])
+            log.info(
+                "Fit epoch %d: %d batches, mean loss %.5f",
+                epoch, idx.shape[0], float(np.mean(losses)),
+            )
+
+            eval_results = self._eval_at_epoch(
+                data, y_np, X_valid, y_valid, start_time, epoch=epoch
+            )
+            if tb_logger is not None:
+                tb_logger.log_params(
+                    epoch=epoch,
+                    eval_results=eval_results,
+                    metrics=self.metrics,
+                    variables=self.state.params,
+                )
+            if epoch_callback:
+                epoch_callback(
+                    model=self,
+                    eval_results=eval_results,
+                    df_all=X_train[:1] if hasattr(X_train, "__getitem__") else None,
+                )
+        return self
+
+    # -- checkpointing (reference DeepModel.py:83-86) ----------------------
+    def save(self, directory):
+        from ..ckpt import save_checkpoint
+
+        save_checkpoint(
+            directory,
+            state=self.state,
+            hparams=self.hparams,
+            feat_dict=self.model.feat_dict,
+        )
+
+    def restore(self, directory):
+        from ..ckpt import restore_checkpoint
+
+        self.state = restore_checkpoint(directory, self.state)
+        return self
