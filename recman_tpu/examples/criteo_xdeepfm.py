@@ -1,0 +1,75 @@
+"""xDeepFM on Criteo (real TSV or synthetic) — the scale config.
+
+BASELINE.json configs 3-5: hashed 26-cat vocabularies, large batches.
+Falls back to the deterministic synthetic Criteo generator when no TSV
+path is given (zero-egress environments have no real Criteo download).
+
+Run: python -m recman_tpu.examples.criteo_xdeepfm [--tsv path] [--rows 200000]
+"""
+
+import argparse
+import logging
+
+import numpy as np
+
+import recman_tpu
+from recman_tpu.data import (
+    create_criteo_features,
+    load_criteo_tsv,
+    synthetic_criteo_arrays,
+)
+from recman_tpu.models import XDeepFM
+from recman_tpu.training import LogLoss, RocAucScore, StreamingAUC, Trainer
+
+log = logging.getLogger(__name__)
+
+
+def main(tsv=None, rows=200_000, num_buckets=100_000, epoch=1, batch_size=4096,
+         learning_rate=0.001, embedding_size=16):
+    recman_tpu.config_logger()
+    feat_dict = create_criteo_features(num_buckets=num_buckets)
+
+    if tsv:
+        raw = load_criteo_tsv(tsv, max_rows=rows)
+        y = raw.pop("y")
+        data = feat_dict.transform(raw, y=y)
+    else:
+        data = synthetic_criteo_arrays(rows, num_buckets=num_buckets)
+
+    n = len(data["y"])
+    split = int(n * 0.9)
+    train = {k: v[:split] for k, v in data.items()}
+    valid = {k: v[split:] for k, v in data.items()}
+    y_valid = valid.pop("y")
+
+    hp = {
+        "learning_rate": learning_rate,
+        "optimizer": "adam",
+        "embedding_size": embedding_size,
+        "cin_cross_layer_units": (100, 100),
+        "cin_dropout": (1, 1, 1),
+        "deep_hidden_units": (400, 400),
+        "deep_dropout": (1.0, 1.0, 1.0),
+    }
+    model = XDeepFM(feat_dict, hp)
+    trainer = Trainer(
+        model, hp, metrics=(LogLoss(), StreamingAUC()), epoch=epoch,
+        batch_size=batch_size, random_seed=2019,
+    )
+    trainer.fit(train, train["y"])
+    res = trainer.evaluate(valid, y_valid)
+    log.info("Criteo%s: VALID logloss=%.4f auc=%.4f",
+             " (synthetic)" if not tsv else "", res[0], res[1])
+    return trainer, res
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tsv", default=None)
+    ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--buckets", type=int, default=100_000)
+    ap.add_argument("--epoch", type=int, default=1)
+    ap.add_argument("--batch-size", type=int, default=4096)
+    args = ap.parse_args()
+    main(tsv=args.tsv, rows=args.rows, num_buckets=args.buckets,
+         epoch=args.epoch, batch_size=args.batch_size)

@@ -72,9 +72,14 @@ class LinearLayer:
         ``override``: optional (total_size,) array added to W when not
         training (pass ``self.override_vector()`` from the host).
         """
-        w = params[f"{self.prefix}linear_w"][:, 0]  # (total,)
+        w = params[f"{self.prefix}linear_w"][:, 0]  # (total,) — possibly
+        # tail-padded for mesh divisibility (parallel/sharding.py)
         w0 = params[f"{self.prefix}linear_w0"]
         if not training and override is not None:
+            if override.shape[0] < w.shape[0]:
+                override = jnp.concatenate(
+                    [override, jnp.zeros(w.shape[0] - override.shape[0], w.dtype)]
+                )
             w = w + override
 
         logit = None

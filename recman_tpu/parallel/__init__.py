@@ -1,0 +1,31 @@
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    row_sharding,
+)
+from .sharding import pad_vocab_for_mesh, param_specs, place_params
+from .train_pjit import (
+    ShardedTrainer,
+    make_sharded_eval_step,
+    make_sharded_train_step,
+    shard_init_state,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "ShardedTrainer",
+    "batch_sharding",
+    "make_mesh",
+    "make_sharded_eval_step",
+    "make_sharded_train_step",
+    "pad_vocab_for_mesh",
+    "param_specs",
+    "place_params",
+    "replicated",
+    "row_sharding",
+    "shard_init_state",
+]

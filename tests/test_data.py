@@ -1,0 +1,85 @@
+"""Data pipeline tests: ML-100K loader parity facts + Criteo loaders."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from recman_tpu.data import (
+    CAT_NAMES,
+    INT_NAMES,
+    create_criteo_features,
+    create_ml_features,
+    get_ml_dataset,
+    load_criteo_tsv,
+    synthetic_criteo_arrays,
+)
+
+
+class TestML100K:
+    @pytest.fixture(scope="class")
+    def dataset(self):
+        return get_ml_dataset(frac=0.1, random_seed=2019)
+
+    def test_split_and_labels(self, dataset):
+        df_train, df_valid, df_test, domains = dataset
+        # u.info ground truth: 943 users / 1682 items / 100k ratings,
+        # ua.base = 90570 / ua.test = 9430
+        assert len(df_train) + len(df_valid) == round(90570 * 0.1)
+        assert len(df_test) == 9430
+        assert set(df_train.label.unique()) <= {0.0, 1.0}
+        assert abs(len(df_train) / (len(df_train) + len(df_valid)) - 0.7) < 0.01
+
+    def test_genres_pipe_joined(self, dataset):
+        df_train, _, _, domains = dataset
+        assert len(domains["genres"]) == 19
+        sample = df_train.genres.iloc[0]
+        assert all(g in domains["genres"] for g in sample.split("|") if g)
+
+    def test_feature_schema(self, dataset):
+        import pandas as pd
+
+        df_train, df_valid, _, domains = dataset
+        fs = create_ml_features(pd.concat([df_train, df_valid]), domains)
+        # reference examples/utils.py:29-75: 5 sparse + 2 dense + 1 multival
+        assert len(fs.sparse_feats) == 5
+        assert len(fs.dense_feats) == 2
+        assert len(fs.multi_val_csv_feats) == 1
+        batch = fs.transform(df_train, y=df_train.label.values)
+        assert batch["user_id"].max() <= fs["user_id"].feat_size - 1
+        assert batch["genres"].shape[1] == 19
+        # MinMax-scaled dense in [0, 1]
+        assert batch["age"].min() >= 0 and batch["age"].max() <= 1
+
+
+class TestCriteo:
+    def test_tsv_loader(self, tmp_path):
+        # 2 rows: full + one with missing fields
+        row1 = "1\t" + "\t".join(str(i) for i in range(13)) + "\t" + "\t".join(
+            f"c{i:02x}" for i in range(26)
+        )
+        row2 = "0\t" + "\t".join([""] * 13) + "\t" + "\t".join([""] * 26)
+        p = tmp_path / "day.tsv"
+        p.write_text(row1 + "\n" + row2 + "\n")
+
+        raw = load_criteo_tsv(p)
+        assert raw["y"].tolist() == [1.0, 0.0]
+        assert raw["I1"].tolist() == [0.0, 0.0]
+        assert raw["I13"].tolist() == [12.0, 0.0]
+
+        fs = create_criteo_features(num_buckets=1000)
+        y = raw.pop("y")
+        batch = fs.transform(raw, y=y)
+        assert batch["C1"][0] > 0  # hashed into 1..buckets
+        assert batch["C1"][1] == 0  # missing -> null row 0
+        assert (batch["I13"] >= 0).all()  # log1p
+
+    def test_synthetic_generator(self):
+        data = synthetic_criteo_arrays(1000, num_buckets=5000, seed=1)
+        assert set(data) == set(CAT_NAMES) | set(INT_NAMES) | {"y"}
+        assert data["C1"].min() >= 1 and data["C1"].max() <= 5000
+        assert 0.1 < data["y"].mean() < 0.9  # both classes present
+        # deterministic
+        data2 = synthetic_criteo_arrays(1000, num_buckets=5000, seed=1)
+        np.testing.assert_array_equal(data["C5"], data2["C5"])
