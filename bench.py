@@ -20,8 +20,10 @@ import time
 
 import numpy as np
 
-# Round-1 reference point (one TPU v5 lite chip, this repo @ milestone 4).
-BASELINE_EXAMPLES_PER_SEC = 400_000.0
+# Round-1 reference point: measured 2026-08-17 on one TPU v5 lite chip
+# (this repo @ milestone 4, f32, XLA-einsum CIN). vs_baseline = speedup
+# over this.
+BASELINE_EXAMPLES_PER_SEC = 211_878.7
 
 BATCH_SIZE = 8192
 NUM_BUCKETS = 100_000
