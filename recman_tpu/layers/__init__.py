@@ -1,4 +1,5 @@
 from .afm import AFMLayer
+from .batchnorm import BatchNormalization
 from .cin import CIN
 from .common import ACTIVATIONS, dice, dropout, leaky_relu, resolve_activation, split_rng
 from .cross import CrossNet
@@ -12,6 +13,7 @@ from .prediction import PredictionLayer
 __all__ = [
     "ACTIVATIONS",
     "AFMLayer",
+    "BatchNormalization",
     "ASPLayer",
     "CIN",
     "CrossNet",

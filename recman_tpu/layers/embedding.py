@@ -31,6 +31,7 @@ from ..features import (
     SparseFeat,
     SparseValueFeat,
 )
+from ..ops.embedding import embedding_lookup, embedding_lookup_grouped
 from ..utils import glorot_normal, l2_loss
 from .common import split_rng
 
@@ -42,7 +43,7 @@ def sqrtn_combine(table, ids):
     present ids yield zeros.
     """
     mask = (ids >= 0).astype(table.dtype)  # (B, L)
-    rows = jnp.take(table, jnp.maximum(ids, 0), axis=0)  # (B, L, k)
+    rows = embedding_lookup(table, jnp.maximum(ids, 0))  # (B, L, k)
     summed = jnp.einsum("blk,bl->bk", rows, mask)
     count = jnp.sum(mask, axis=1, keepdims=True)
     return summed * jnp.where(count > 0, 1.0 / jnp.sqrt(jnp.maximum(count, 1.0)), 0.0)
@@ -99,16 +100,16 @@ class EmbeddingLayer:
 
         def one(t, width):
             if isinstance(feat, SparseFeat):
-                return jnp.take(t, batch[feat.name], axis=0)[:, None, :]
+                return embedding_lookup(t, batch[feat.name])[:, None, :]
             if isinstance(feat, SparseValueFeat):
-                rows = jnp.take(t, batch[feat.name], axis=0)
+                rows = embedding_lookup(t, batch[feat.name])
                 return (rows * batch[feat.value_key][:, None])[:, None, :]
             if isinstance(feat, (MultiValCsvFeat, MultiValSparseFeat)):
                 return sqrtn_combine(t, batch[feat.name])[:, None, :]
             if isinstance(feat, SequenceFeat):
                 ids = batch[feat.name]
                 mask = (ids >= 0).astype(t.dtype)[:, :, None]
-                return jnp.take(t, jnp.maximum(ids, 0), axis=0) * mask
+                return embedding_lookup(t, jnp.maximum(ids, 0)) * mask
             raise NotImplementedError(type(feat))
 
         embeds = one(table, self.embedding_size)
@@ -119,11 +120,37 @@ class EmbeddingLayer:
         """Concat lookups along the field axis.
 
         Returns (embeds (B, F, k), bias (B, F, 1) | None) — reference
-        FeatEmbeddingLayer.__call__ (layers.py:238-261).
+        FeatEmbeddingLayer.__call__ (layers.py:238-261). Plain sparse
+        fields go through one grouped (batched-kernel) lookup; see
+        ops.embedding_lookup_grouped.
         """
+        plain = [
+            f for f in self.feats
+            if isinstance(f, SparseFeat) and not isinstance(f, SparseValueFeat)
+        ]
+        embeds_by_name, bias_by_name = {}, {}
+        if plain:
+            rows = embedding_lookup_grouped(
+                [params[f"{self.prefix}{f.name}_feat_embed"] for f in plain],
+                [batch[f.name] for f in plain],
+            )
+            for f, r in zip(plain, rows):
+                embeds_by_name[f.name] = r[:, None, :]
+            if self.use_bias:
+                brows = embedding_lookup_grouped(
+                    [params[f"{self.prefix}{f.name}_feat_bias"] for f in plain],
+                    [batch[f.name] for f in plain],
+                )
+                for f, r in zip(plain, brows):
+                    bias_by_name[f.name] = r[:, None, :]
+
         embeds, biases = [], []
         for feat in self.feats:
-            e, b = self._lookup(params, feat, batch)
+            if feat.name in embeds_by_name:
+                e = embeds_by_name[feat.name]
+                b = bias_by_name.get(feat.name)
+            else:
+                e, b = self._lookup(params, feat, batch)
             embeds.append(e)
             if b is not None:
                 biases.append(b)

@@ -27,8 +27,10 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
+from ..ops.embedding import embedding_lookup, embedding_lookup_grouped
 from ..features import (
     DenseFeat,
     MultiValCsvFeat,
@@ -72,15 +74,15 @@ class LinearLayer:
         ``override``: optional (total_size,) array added to W when not
         training (pass ``self.override_vector()`` from the host).
         """
-        w = params[f"{self.prefix}linear_w"][:, 0]  # (total,) — possibly
+        w2 = params[f"{self.prefix}linear_w"]  # (total, 1) — possibly
         # tail-padded for mesh divisibility (parallel/sharding.py)
         w0 = params[f"{self.prefix}linear_w0"]
         if not training and override is not None:
-            if override.shape[0] < w.shape[0]:
+            if override.shape[0] < w2.shape[0]:
                 override = jnp.concatenate(
-                    [override, jnp.zeros(w.shape[0] - override.shape[0], w.dtype)]
+                    [override, jnp.zeros(w2.shape[0] - override.shape[0], w2.dtype)]
                 )
-            w = w + override
+            w2 = w2 + override[:, None]
 
         logit = None
 
@@ -88,21 +90,35 @@ class LinearLayer:
             nonlocal logit
             logit = x if logit is None else logit + x
 
+        # per-feature STATIC slices of W: each slice's lookup gets the
+        # scatter-free fused gradient (ops/embedding.py) scoped to that
+        # feature's vocabulary instead of the whole design-matrix width;
+        # same-size slices share one grouped (batched-kernel) lookup
+        slices, ids_list, kinds = [], [], []
         for feat in self.feats:
             off = self.offsets[feat.name]
             if isinstance(feat, DenseFeat):
-                acc(w[off] * batch[feat.name])
-            elif isinstance(feat, SparseValueFeat):
-                acc(jnp.take(w, off + batch[feat.name]) * batch[feat.value_key])
-            elif isinstance(feat, SparseFeat):
-                acc(jnp.take(w, off + batch[feat.name]))
-            elif isinstance(feat, (MultiValCsvFeat, MultiValSparseFeat)):
-                ids = batch[feat.name]  # (B, L)
-                mask = (ids > 0).astype(w.dtype)
-                rows = jnp.take(w, off + jnp.maximum(ids, 0))
-                acc(jnp.sum(rows * mask, axis=1))
+                acc(w2[off, 0] * batch[feat.name])
+                continue
+            w_f = jax.lax.slice_in_dim(w2, off, off + feat.feat_size, axis=0)
+            slices.append(w_f)
+            kinds.append(feat)
+            if isinstance(feat, (MultiValCsvFeat, MultiValSparseFeat)):
+                ids_list.append(jnp.maximum(batch[feat.name], 0))
+            elif isinstance(feat, (SparseFeat, SparseValueFeat)):
+                ids_list.append(batch[feat.name])
             else:
                 raise NotImplementedError(type(feat))
+
+        rows_list = embedding_lookup_grouped(slices, ids_list)
+        for feat, rows in zip(kinds, rows_list):
+            if isinstance(feat, SparseValueFeat):
+                acc(rows[:, 0] * batch[feat.value_key])
+            elif isinstance(feat, SparseFeat):
+                acc(rows[:, 0])
+            else:  # multi-val: OOV column excluded (reference utils.py:106-107)
+                mask = (batch[feat.name] > 0).astype(rows.dtype)
+                acc(jnp.sum(rows[:, :, 0] * mask, axis=1))
 
         return (logit + w0)[:, None]  # (B, 1)
 

@@ -59,23 +59,27 @@ def make_sharded_train_step(model, optimizer, mesh):
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
     def step_fn(state: TrainState, data: dict, idx):
-        rng, dropout_rng = jax.random.split(state.rng)
-        batch, weights = gather_batch(data, idx)
-        batch = {
-            k: jax.lax.with_sharding_constraint(v, batch_sharding)
-            for k, v in batch.items()
-        }
-        weights = jax.lax.with_sharding_constraint(weights, batch_sharding)
+        from ..ops import fused_grad
 
-        def loss_fn(params):
-            return model.loss(
-                params, batch, training=True, rng=dropout_rng, weights=weights
-            )
+        with fused_grad(False):  # keep XLA's partitionable gather grad for
+            # row-sharded tables (the Pallas kernel is single-shard)
+            rng, dropout_rng = jax.random.split(state.rng)
+            batch, weights = gather_batch(data, idx)
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, batch_sharding)
+                for k, v in batch.items()
+            }
+            weights = jax.lax.with_sharding_constraint(weights, batch_sharding)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1, rng), loss
+            def loss_fn(params):
+                return model.loss(
+                    params, batch, training=True, rng=dropout_rng, weights=weights
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1, rng), loss
 
     return jax.jit(step_fn, donate_argnums=(0,))
 

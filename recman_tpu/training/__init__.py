@@ -1,4 +1,5 @@
 from .auc import StreamingAUC
+from .lr_schedule import large_batch_schedule, linear_scaled_lr, warmup_schedule
 from .metrics import Gini, LogLoss, RocAucScore
 from .train_step import (
     TrainState,
@@ -15,6 +16,9 @@ __all__ = [
     "LogLoss",
     "RocAucScore",
     "StreamingAUC",
+    "large_batch_schedule",
+    "linear_scaled_lr",
+    "warmup_schedule",
     "TrainState",
     "Trainer",
     "batch_indices",
