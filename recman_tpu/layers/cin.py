@@ -85,19 +85,22 @@ class CIN:
         for i, size in enumerate(self.cross_layer_units):
             hk = xk.shape[1]
             # vector-wise outer product, flattened h-major to match the
-            # reference's reshape of (D, B, H0, Hk) (layers.py:721-726)
-            z = jnp.einsum("bhd,bmd->bdhm", x0, xk).reshape(B, D, H0 * hk)
+            # reference's reshape of (D, B, H0, Hk) (layers.py:721-726).
+            # Kept in (B, X, D) layout and contracted as 'bxd,xo->bod' so the
+            # result lands directly in the (B, size, D) field-major layout —
+            # the (B, D, X) formulation makes XLA materialize + layout-copy
+            # the 680 MB z tensor (profiled 3 ms/step at batch 8192)
+            z = jnp.einsum("bhd,bmd->bhmd", x0, xk).reshape(B, H0 * hk, D)
             fmap = (
                 jnp.einsum(
-                    "bdx,xo->bdo",
+                    "bxd,xo->bod",
                     z,
                     params[f"{self.prefix}cin_filter_{i}"],
                     preferred_element_type=jnp.float32,
                 )
-                + params[f"{self.prefix}cin_bias_{i}"]
+                + params[f"{self.prefix}cin_bias_{i}"][:, None]
             )
-            fmap = self.activation(fmap)
-            fmap = jnp.transpose(fmap, (0, 2, 1))  # (B, size, D)
+            fmap = self.activation(fmap)  # (B, size, D)
             fmap = dropout(rngs[i + 1], fmap, self.dropout_keep[i + 1], training)
 
             if i != len(self.cross_layer_units) - 1:

@@ -83,8 +83,10 @@ class EmbeddingLayer:
             name = f"{self.prefix}{feat.name}_feat_embed"
             params[name] = glorot_normal(sub, (feat.feat_size, self.embedding_size))
             if self.use_bias:
+                # 1-D storage (see layers/linear.py init: (V, 1) tiles as
+                # T(1,128), 8x lane-padded update traffic)
                 params[f"{self.prefix}{feat.name}_feat_bias"] = jnp.zeros(
-                    (feat.feat_size, 1), dtype=jnp.float32
+                    (feat.feat_size,), dtype=jnp.float32
                 )
         return params
 
@@ -92,6 +94,8 @@ class EmbeddingLayer:
         owner = feat.id_feat.name if isinstance(feat, SequenceFeat) else feat.name
         table = params[f"{self.prefix}{owner}_feat_embed"]
         bias = params.get(f"{self.prefix}{owner}_feat_bias") if self.use_bias else None
+        if bias is not None:
+            bias = bias[:, None]  # stored 1-D; lookups want (V, 1)
         return table, bias
 
     def _lookup(self, params, feat, batch):
@@ -138,7 +142,7 @@ class EmbeddingLayer:
                 embeds_by_name[f.name] = r[:, None, :]
             if self.use_bias:
                 brows = embedding_lookup_grouped(
-                    [params[f"{self.prefix}{f.name}_feat_bias"] for f in plain],
+                    [params[f"{self.prefix}{f.name}_feat_bias"][:, None] for f in plain],
                     [batch[f.name] for f in plain],
                 )
                 for f, r in zip(plain, brows):

@@ -58,8 +58,11 @@ class LinearLayer:
         self.total_size = offset
 
     def init(self, key=None) -> dict:
+        # 1-D storage: a (total, 1) f32 gets TPU layout T(1,128) whose
+        # single-sublane tiles run the Adam update at 1/8 VPU efficiency
+        # (profiled 1.8 ms/step on 2.6M rows); 1-D packs densely
         return {
-            f"{self.prefix}linear_w": jnp.zeros((self.total_size, 1), dtype=jnp.float32),
+            f"{self.prefix}linear_w": jnp.zeros((self.total_size,), dtype=jnp.float32),
             f"{self.prefix}linear_w0": jnp.zeros((1,), dtype=jnp.float32),
         }
 
@@ -74,15 +77,16 @@ class LinearLayer:
         ``override``: optional (total_size,) array added to W when not
         training (pass ``self.override_vector()`` from the host).
         """
-        w2 = params[f"{self.prefix}linear_w"]  # (total, 1) — possibly
+        w = params[f"{self.prefix}linear_w"]  # (total,) — possibly
         # tail-padded for mesh divisibility (parallel/sharding.py)
         w0 = params[f"{self.prefix}linear_w0"]
         if not training and override is not None:
-            if override.shape[0] < w2.shape[0]:
+            if override.shape[0] < w.shape[0]:
                 override = jnp.concatenate(
-                    [override, jnp.zeros(w2.shape[0] - override.shape[0], w2.dtype)]
+                    [override, jnp.zeros(w.shape[0] - override.shape[0], w.dtype)]
                 )
-            w2 = w2 + override[:, None]
+            w = w + override
+        w2 = w[:, None]
 
         logit = None
 

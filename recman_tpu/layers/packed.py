@@ -1,0 +1,164 @@
+"""Packed embedding + linear lookup: one gather/scatter per feature.
+
+Per-row random HBM access dominates the sparse part of a CTR train step
+(~30-70 ns/row; see ops/embedding.py). A model with both an embedding
+tower and a linear tower pays it TWICE per feature — once for the (V, k)
+table, once for the (V,) linear-weight slice — plus once more for bias
+tables. This layer concatenates, per feature, [table | bias | w_slice]
+into a (V, k+2) matrix at apply time (static concat, sequential HBM
+traffic, adjoint = cheap slices) so each feature does ONE gather forward
+and ONE sorted scatter backward.
+
+Parameters stay owned by EmbeddingLayer / LinearLayer under their
+reference-parity names — this is purely an execution-path optimization;
+checkpoints are unchanged. Semantics are identical to running the two
+towers separately (covered by parity tests):
+
+- embedding combine masks ids >= 0 (sqrtn), linear masks ids > 0
+  (reference utils.py:106-107 excludes the OOV column)
+- SparseValueFeat scales both parts by the value
+- the inference-time linear weight override applies to the w column only
+- dense features only contribute to the linear logit
+
+Features not present in both towers (or SequenceFeat's tied tables) fall
+back to the unpacked per-layer paths.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..features import (
+    DenseFeat,
+    MultiValCsvFeat,
+    MultiValSparseFeat,
+    SequenceFeat,
+    SparseFeat,
+    SparseValueFeat,
+)
+from ..ops.embedding import embedding_lookup
+
+
+class PackedEmbeddingLinear:
+    """Fused apply over an EmbeddingLayer and a LinearLayer."""
+
+    def __init__(self, embeddings, linear):
+        self.embeddings = embeddings
+        self.linear = linear
+        linear_names = {f.name for f in linear.feats}
+        self.packable = [
+            f
+            for f in embeddings.feats
+            if f.name in linear_names and not isinstance(f, SequenceFeat)
+        ]
+        self._packable_names = {f.name for f in self.packable}
+
+    def _linear_w(self, params, training, override):
+        w = params[f"{self.linear.prefix}linear_w"]
+        if not training and override is not None:
+            if override.shape[0] < w.shape[0]:
+                override = jnp.concatenate(
+                    [override, jnp.zeros(w.shape[0] - override.shape[0], w.dtype)]
+                )
+            w = w + override
+        return w
+
+    def apply(self, params, batch, training=True, override=None):
+        """Returns (feat_embeds (B,F,k), feat_bias (B,F,1)|None, linear_logit (B,1))."""
+        emb = self.embeddings
+        lin = self.linear
+        k = emb.embedding_size
+        use_bias = emb.use_bias
+        w = self._linear_w(params, training, override)
+
+        embeds_by_name, bias_by_name = {}, {}
+        linear_logit = params[f"{lin.prefix}linear_w0"]
+
+        for feat in self.packable:
+            # tables may carry mesh-divisibility tail padding
+            # (parallel/sharding.py); slice back to the logical vocab so
+            # all packed columns agree
+            table = params[f"{emb.prefix}{feat.name}_feat_embed"]
+            cols = [table[: feat.feat_size]]
+            if use_bias:
+                cols.append(
+                    params[f"{emb.prefix}{feat.name}_feat_bias"][: feat.feat_size, None]
+                )
+            off = lin.offsets[feat.name]
+            cols.append(w[off : off + feat.feat_size][:, None])
+            packed = jnp.concatenate(cols, axis=1)  # (V, k [+1] +1)
+
+            if isinstance(feat, SparseValueFeat):
+                rows = embedding_lookup(packed, batch[feat.name])
+                rows = rows * batch[feat.value_key][:, None]
+                embeds_by_name[feat.name] = rows[:, None, :k]
+                if use_bias:
+                    bias_by_name[feat.name] = rows[:, None, k : k + 1]
+                linear_logit = linear_logit + rows[:, -1:]
+            elif isinstance(feat, SparseFeat):
+                rows = embedding_lookup(packed, batch[feat.name])
+                embeds_by_name[feat.name] = rows[:, None, :k]
+                if use_bias:
+                    bias_by_name[feat.name] = rows[:, None, k : k + 1]
+                linear_logit = linear_logit + rows[:, -1:]
+            elif isinstance(feat, (MultiValCsvFeat, MultiValSparseFeat)):
+                ids = batch[feat.name]  # (B, L)
+                rows = embedding_lookup(packed, jnp.maximum(ids, 0))  # (B, L, W)
+                present = (ids >= 0).astype(rows.dtype)
+                combined = jnp.einsum("blw,bl->bw", rows, present)
+                count = jnp.sum(present, axis=1, keepdims=True)
+                sqrtn = combined * jnp.where(
+                    count > 0, 1.0 / jnp.sqrt(jnp.maximum(count, 1.0)), 0.0
+                )
+                embeds_by_name[feat.name] = sqrtn[:, None, :k]
+                if use_bias:
+                    bias_by_name[feat.name] = sqrtn[:, None, k : k + 1]
+                # linear: plain sum over ids > 0 (OOV excluded)
+                pos = (ids > 0).astype(rows.dtype)
+                linear_logit = linear_logit + jnp.einsum(
+                    "bl,bl->b", rows[:, :, -1], pos
+                )[:, None]
+            else:
+                raise NotImplementedError(type(feat))
+
+        # unpacked remainder of the embedding tower (tied/sequence feats,
+        # feats outside the linear selector)
+        embeds, biases = [], []
+        for feat in emb.feats:
+            if feat.name in self._packable_names:
+                e = embeds_by_name[feat.name]
+                b = bias_by_name.get(feat.name)
+            else:
+                e, b = emb._lookup(params, feat, batch)
+            embeds.append(e)
+            if b is not None:
+                biases.append(b)
+        feat_embeds = jnp.concatenate(embeds, axis=1)
+        feat_bias = (
+            jnp.concatenate(biases, axis=1) if (use_bias and biases) else None
+        )
+
+        # unpacked remainder of the linear tower (dense feats + any sparse
+        # feats not in the embedding tower)
+        for feat in lin.feats:
+            off = lin.offsets[feat.name]
+            if isinstance(feat, DenseFeat):
+                linear_logit = linear_logit + (w[off] * batch[feat.name])[:, None]
+            elif feat.name not in self._packable_names:
+                w_f = w[off : off + feat.feat_size][:, None]
+                if isinstance(feat, SparseValueFeat):
+                    linear_logit = linear_logit + (
+                        embedding_lookup(w_f, batch[feat.name])[:, 0]
+                        * batch[feat.value_key]
+                    )[:, None]
+                elif isinstance(feat, SparseFeat):
+                    linear_logit = (
+                        linear_logit + embedding_lookup(w_f, batch[feat.name])
+                    )
+                elif isinstance(feat, (MultiValCsvFeat, MultiValSparseFeat)):
+                    ids = batch[feat.name]
+                    mask = (ids > 0).astype(w.dtype)
+                    rows = embedding_lookup(w_f, jnp.maximum(ids, 0))[:, :, 0]
+                    linear_logit = linear_logit + jnp.sum(rows * mask, axis=1)[:, None]
+
+        return feat_embeds, feat_bias, linear_logit

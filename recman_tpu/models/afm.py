@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from ..config import AFMHyperParams as HP
 from ..layers import AFMLayer, EmbeddingLayer, LinearLayer, PredictionLayer, split_rng
+from ..layers.packed import PackedEmbeddingLinear
 from .base import Model
 
 
@@ -26,6 +27,7 @@ class AFM(Model):
         self.linear = LinearLayer(
             feat_dict.linear_features(hp[HP.LinearFeatures]), hp[HP.LinearL2Reg]
         )
+        self.packed = PackedEmbeddingLinear(self.embeddings, self.linear)
         self.afm = AFMLayer(
             field_size=self.embeddings.field_size,
             embedding_size=hp[HP.EmbeddingSize],
@@ -45,8 +47,7 @@ class AFM(Model):
         return params
 
     def apply(self, params, batch, training=True, rng=None, linear_override=None):
-        feat_embeds, _ = self.embeddings.apply(params, batch)
-        linear_logit = self.linear.apply(
+        feat_embeds, _, linear_logit = self.packed.apply(
             params, batch, training=training, override=linear_override
         )
         afm_logit = self.afm.apply(params, feat_embeds, training=training, rng=rng)

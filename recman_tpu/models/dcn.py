@@ -18,6 +18,7 @@ from ..layers import (
     dnn_combine,
     split_rng,
 )
+from ..layers.packed import PackedEmbeddingLinear
 from .base import Model
 
 
@@ -38,6 +39,7 @@ class DCN(Model):
             self.linear = LinearLayer(
                 feat_dict.linear_features(hp[HP.LinearFeatures]), hp[HP.LinearL2Reg]
             )
+            self.packed = PackedEmbeddingLinear(self.embeddings, self.linear)
         input_dim = (
             self.embeddings.field_size * hp[HP.EmbeddingSize]
             + len(feat_dict.dense_feats)
@@ -70,15 +72,19 @@ class DCN(Model):
     def apply(self, params, batch, training=True, rng=None, linear_override=None):
         r_dnn, = split_rng(rng, 1)
 
-        feat_embeds, _ = self.embeddings.apply(params, batch)
+        if self.use_linear:
+            feat_embeds, _, linear_logit = self.packed.apply(
+                params, batch, training=training, override=linear_override
+            )
+        else:
+            feat_embeds, _ = self.embeddings.apply(params, batch)
+            linear_logit = None
         x0 = dnn_combine([feat_embeds] + self.dense_columns(batch))
 
         logit = self.dnn.apply(params, x0, training=training, rng=r_dnn)
         logit = logit + self.cross.apply(params, x0, training=training)
-        if self.use_linear:
-            logit = logit + self.linear.apply(
-                params, batch, training=training, override=linear_override
-            )
+        if linear_logit is not None:
+            logit = logit + linear_logit
         return self.head.apply(params, logit)
 
     def l2(self, params):

@@ -17,6 +17,7 @@ from ..layers import (
     dnn_combine,
     split_rng,
 )
+from ..layers.packed import PackedEmbeddingLinear
 from .base import Model
 
 
@@ -38,6 +39,7 @@ class DeepFM(Model):
         self.linear = LinearLayer(
             feat_dict.linear_features(hp[HP.LinearFeatures]), hp[HP.LinearL2Reg]
         )
+        self.packed = PackedEmbeddingLinear(self.embeddings, self.linear)
         self.fm = FMLayer(dropout_keep=hp[HP.FMDropOut])
         if self.use_deep:
             dnn_input_dim = (
@@ -66,8 +68,7 @@ class DeepFM(Model):
     def apply(self, params, batch, training=True, rng=None, linear_override=None):
         r_fm, r_dnn = split_rng(rng, 2)
 
-        feat_embeds, feat_bias = self.embeddings.apply(params, batch)
-        logit = self.linear.apply(
+        feat_embeds, feat_bias, logit = self.packed.apply(
             params, batch, training=training, override=linear_override
         )
         if self.use_fm:

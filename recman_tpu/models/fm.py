@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from ..config import FMHyperParams as HP
 from ..layers import EmbeddingLayer, FMLayer, LinearLayer, PredictionLayer, split_rng
+from ..layers.packed import PackedEmbeddingLinear
 from .base import Model
 
 
@@ -27,6 +28,7 @@ class FM(Model):
         self.linear = LinearLayer(
             feat_dict.linear_features(hp[HP.LinearFeatures]), hp[HP.LinearL2Reg]
         )
+        self.packed = PackedEmbeddingLinear(self.embeddings, self.linear)
         self.fm = FMLayer(dropout_keep=hp[HP.FMDropOut])
         self.head = PredictionLayer(task)
 
@@ -38,8 +40,7 @@ class FM(Model):
         return params
 
     def apply(self, params, batch, training=True, rng=None, linear_override=None):
-        feat_embeds, feat_bias = self.embeddings.apply(params, batch)
-        linear_logit = self.linear.apply(
+        feat_embeds, feat_bias, linear_logit = self.packed.apply(
             params, batch, training=training, override=linear_override
         )
         fm_logit = self.fm.apply(

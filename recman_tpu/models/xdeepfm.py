@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from ..config import xDeepFMHyperParams as HP
 from ..layers import CIN, DNN, EmbeddingLayer, LinearLayer, PredictionLayer, dnn_combine, split_rng
+from ..layers.packed import PackedEmbeddingLinear
 from .base import Model
 
 
@@ -31,6 +32,7 @@ class XDeepFM(Model):
         )
         linear_feats = feat_dict.linear_features(hp[HP.LinearFeatures])
         self.linear = LinearLayer(linear_feats, hp[HP.LinearL2Reg])
+        self.packed = PackedEmbeddingLinear(self.embeddings, self.linear)
         self.cin = CIN(
             field_size=self.embeddings.field_size,
             cross_layer_units=hp[HP.CinCrossLayerUnits],
@@ -64,10 +66,9 @@ class XDeepFM(Model):
     def apply(self, params, batch, training=True, rng=None, linear_override=None):
         r_cin, r_dnn = split_rng(rng, 2)
 
-        feat_embeds, _ = self.embeddings.apply(params, batch)  # (B, F, k)
-        linear_logit = self.linear.apply(
+        feat_embeds, _, linear_logit = self.packed.apply(
             params, batch, training=training, override=linear_override
-        )
+        )  # one gather/scatter per feature for table + linear slice
         cin_logit = self.cin.apply(params, feat_embeds, training=training, rng=r_cin)
         dnn_input = dnn_combine([feat_embeds] + self.dense_columns(batch))
         dnn_logit = self.dnn.apply(params, dnn_input, training=training, rng=r_dnn)
