@@ -23,6 +23,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..utils import glorot_normal, glorot_uniform, l2_loss
+from ..ops.cin_interact import cin_interact
 from .common import dropout, resolve_activation, split_rng
 
 
@@ -78,40 +79,34 @@ class CIN:
         B, H0, D = inputs.shape
         rngs = split_rng(rng, len(self.cross_layer_units) + 1)
 
+        # everything runs in (B, D, H) embedding-position-major layout: the
+        # fused interaction op (ops/cin_interact.py) emits (B, D, O), whose
+        # O-slice feeds the next layer with zero transposes; XLA's native
+        # formulation materialized + layout-copied the (B, X, D) z tensor
+        # (profiled ~9 ms/step at batch 8192). Semantics are unchanged
+        # (validated against the reference split/matmul/conv form).
         x0 = dropout(rngs[0], inputs, self.dropout_keep[0], training)
-        xk = x0
+        x0t = jnp.transpose(x0, (0, 2, 1))  # (B, D, H0)
+        xkt = x0t
         finals = []
 
         for i, size in enumerate(self.cross_layer_units):
-            hk = xk.shape[1]
-            # vector-wise outer product, flattened h-major to match the
-            # reference's reshape of (D, B, H0, Hk) (layers.py:721-726).
-            # Kept in (B, X, D) layout and contracted as 'bxd,xo->bod' so the
-            # result lands directly in the (B, size, D) field-major layout —
-            # the (B, D, X) formulation makes XLA materialize + layout-copy
-            # the 680 MB z tensor (profiled 3 ms/step at batch 8192)
-            z = jnp.einsum("bhd,bmd->bhmd", x0, xk).reshape(B, H0 * hk, D)
-            fmap = (
-                jnp.einsum(
-                    "bxd,xo->bod",
-                    z,
-                    params[f"{self.prefix}cin_filter_{i}"],
-                    preferred_element_type=jnp.float32,
-                )
-                + params[f"{self.prefix}cin_bias_{i}"][:, None]
-            )
-            fmap = self.activation(fmap)  # (B, size, D)
+            pre = (
+                cin_interact(x0t, xkt, params[f"{self.prefix}cin_filter_{i}"])
+                + params[f"{self.prefix}cin_bias_{i}"]
+            )  # (B, D, size)
+            fmap = self.activation(pre)
             fmap = dropout(rngs[i + 1], fmap, self.dropout_keep[i + 1], training)
 
             if i != len(self.cross_layer_units) - 1:
-                xk = fmap[:, : size // 2, :]
-                direct = fmap[:, size // 2 :, :]
+                xkt = fmap[:, :, : size // 2]
+                direct = fmap[:, :, size // 2 :]
             else:
                 direct = fmap
             finals.append(direct)
 
-        result = jnp.concatenate(finals, axis=1)  # (B, final_size, D)
-        result = jnp.sum(result, axis=-1)  # (B, final_size)
+        result = jnp.concatenate(finals, axis=2)  # (B, D, final_size)
+        result = jnp.sum(result, axis=1)  # (B, final_size)
         return result @ params[f"{self.prefix}cin_w"] + params[f"{self.prefix}cin_w0"]
 
     def l2(self, params):
