@@ -52,7 +52,10 @@ def main():
             "deep_dropout": (1.0, 1.0, 1.0),
         },
     )
+    from recman_tpu.training.train_step import pack_dataset
+
     data = synthetic_criteo_arrays(N_ROWS, num_buckets=NUM_BUCKETS, seed=2019)
+    data, layout = pack_dataset(data)
     data = {k: jnp.asarray(v) for k, v in data.items()}
 
     optimizer = create_optimizer("adam", 1e-3)
@@ -64,13 +67,13 @@ def main():
     idx = [jnp.asarray(row) for row in idx_mat]
 
     for i in range(WARMUP_STEPS):
-        state, loss = step(state, data, idx[i % len(idx)])
+        state, loss = step(state, data, idx[i % len(idx)], layout)
     float(loss)  # device->host transfer: a real sync (block_until_ready is
     # a no-op on the tunneled axon platform — see .claude/skills/verify)
 
     t0 = time.perf_counter()
     for i in range(MEASURE_STEPS):
-        state, loss = step(state, data, idx[i % len(idx)])
+        state, loss = step(state, data, idx[i % len(idx)], layout)
     float(loss)
     elapsed = time.perf_counter() - t0
 

@@ -58,13 +58,16 @@ def make_sharded_train_step(model, optimizer, mesh):
     the local gather; everything else falls out of param placement."""
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
 
-    def step_fn(state: TrainState, data: dict, idx):
+    def step_fn(state: TrainState, data: dict, idx, layout=()):
         from ..ops import fused_grad
+        from ..training.train_step import unpack_batch
 
         with fused_grad(False):  # keep XLA's partitionable gather grad for
             # row-sharded tables (the Pallas kernel is single-shard)
             rng, dropout_rng = jax.random.split(state.rng)
             batch, weights = gather_batch(data, idx)
+            if layout:
+                batch = unpack_batch(batch, layout)
             batch = {
                 k: jax.lax.with_sharding_constraint(v, batch_sharding)
                 for k, v in batch.items()
@@ -81,15 +84,19 @@ def make_sharded_train_step(model, optimizer, mesh):
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, opt_state, state.step + 1, rng), loss
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,), static_argnames=("layout",))
 
 
 def make_sharded_eval_step(model, mesh):
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
     out_sharding = NamedSharding(mesh, P())
 
-    def step_fn(params, data, idx, override, training: bool):
+    def step_fn(params, data, idx, override, training: bool, layout=()):
+        from ..training.train_step import unpack_batch
+
         batch, _ = gather_batch(data, idx)
+        if layout:
+            batch = unpack_batch(batch, layout)
         batch = {
             k: jax.lax.with_sharding_constraint(v, batch_sharding)
             for k, v in batch.items()
@@ -100,7 +107,7 @@ def make_sharded_eval_step(model, mesh):
         )
         return jax.lax.with_sharding_constraint(preds, out_sharding)
 
-    return jax.jit(step_fn, static_argnames=("training",))
+    return jax.jit(step_fn, static_argnames=("training", "layout"))
 
 
 class ShardedTrainer(Trainer):
@@ -150,8 +157,8 @@ class ShardedTrainer(Trainer):
             self.mesh, n_sharded, len(self.state.params),
         )
 
-    def _to_device(self, X, y=None) -> dict:
-        data = super()._to_device(X, y)
+    def _to_device(self, X, y=None):
+        data, layout = super()._to_device(X, y)
         # replicate dataset arrays across the mesh
         repl = NamedSharding(self.mesh, P())
-        return {k: jax.device_put(v, repl) for k, v in data.items()}
+        return {k: jax.device_put(v, repl) for k, v in data.items()}, layout

@@ -77,13 +77,65 @@ def gather_batch(data: dict, idx) -> tuple[dict, jnp.ndarray]:
     return batch, weights
 
 
+# -- dataset packing --------------------------------------------------------
+# A 40-feature schema means 40 row-gather kernels per step; packing all
+# int columns into one (N, Ci) matrix and all float columns into one
+# (N, Cf) matrix reduces that to 2-3 gathers, with per-feature views
+# recovered as static column slices that fuse into their consumers.
+
+PACKED_I32 = "__packed_i32"
+PACKED_F32 = "__packed_f32"
+
+
+def pack_dataset(data: dict) -> tuple[dict, tuple]:
+    """Host-side: concat feature columns by dtype.
+
+    Returns (packed dict, layout) where layout is a hashable tuple of
+    (name, key, start, width, squeeze) entries for unpack_batch.
+    """
+    import numpy as np
+
+    packed: dict = {}
+    layout = []
+    cols_by_key = {PACKED_I32: [], PACKED_F32: []}
+    for name, arr in data.items():
+        arr = np.asarray(arr)
+        if name == "y" or arr.ndim > 2:
+            packed[name] = arr
+            continue
+        key = PACKED_I32 if np.issubdtype(arr.dtype, np.integer) else PACKED_F32
+        col = arr[:, None] if arr.ndim == 1 else arr
+        start = sum(c.shape[1] for c in cols_by_key[key])
+        cols_by_key[key].append(
+            col.astype(np.int32 if key == PACKED_I32 else np.float32)
+        )
+        layout.append((name, key, start, col.shape[1], arr.ndim == 1))
+    for key, cols in cols_by_key.items():
+        if cols:
+            packed[key] = np.concatenate(cols, axis=1)
+    return packed, tuple(layout)
+
+
+def unpack_batch(batch: dict, layout) -> dict:
+    """Static column slices back to the per-feature batch dict (traced)."""
+    out = {k: v for k, v in batch.items() if k not in (PACKED_I32, PACKED_F32)}
+    for name, key, start, width, squeeze in layout:
+        col = jax.lax.slice_in_dim(batch[key], start, start + width, axis=1)
+        out[name] = col[:, 0] if squeeze else col
+    return out
+
+
 def make_train_step(model, optimizer):
     """Build the compiled train step for ``model``; state is donated so
-    params/opt-state update in place in HBM."""
+    params/opt-state update in place in HBM. ``layout`` (static) unpacks a
+    packed dataset (pack_dataset) after the gather."""
 
-    def step_fn(state: TrainState, data: dict, idx) -> tuple[TrainState, jnp.ndarray]:
+    def step_fn(state: TrainState, data: dict, idx,
+                layout=()) -> tuple[TrainState, jnp.ndarray]:
         rng, dropout_rng = jax.random.split(state.rng)
         batch, weights = gather_batch(data, idx)
+        if layout:
+            batch = unpack_batch(batch, layout)
 
         def loss_fn(params):
             return model.loss(
@@ -98,7 +150,7 @@ def make_train_step(model, optimizer):
             loss,
         )
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,), static_argnames=("layout",))
 
 
 def make_eval_step(model):
@@ -108,11 +160,13 @@ def make_eval_step(model):
     training=True (DeepModel.py:103-111, dropout live in eval metrics — a
     quirk we support but don't default to)."""
 
-    def step_fn(params, data, idx, override, training: bool):
+    def step_fn(params, data, idx, override, training: bool, layout=()):
         batch, _ = gather_batch(data, idx)
+        if layout:
+            batch = unpack_batch(batch, layout)
         rng = jax.random.PRNGKey(0) if training else None
         return model.apply(
             params, batch, training=training, rng=rng, linear_override=override
         )
 
-    return jax.jit(step_fn, static_argnames=("training",))
+    return jax.jit(step_fn, static_argnames=("training", "layout"))

@@ -33,6 +33,7 @@ from .train_step import (
     init_state,
     make_eval_step,
     make_train_step,
+    pack_dataset,
 )
 
 log = logging.getLogger(__name__)
@@ -89,9 +90,11 @@ class Trainer:
         )
 
     # -- data plumbing -----------------------------------------------------
-    def _to_device(self, X, y=None) -> dict:
+    def _to_device(self, X, y=None):
         """DataFrame -> encoded device arrays (or pass through a dict that
-        is already encoded)."""
+        is already encoded). Columns are packed by dtype (pack_dataset) so
+        each step gathers 2-3 matrices instead of one array per feature;
+        returns (data, layout) with layout static for the jitted steps."""
         if isinstance(X, dict):
             data = dict(X)
             if y is not None:
@@ -100,7 +103,8 @@ class Trainer:
             data = self.model.feat_dict.transform(X, y)
         if "y" not in data:
             data["y"] = np.zeros(len(next(iter(data.values()))), dtype=np.float32)
-        return {k: jnp.asarray(v) for k, v in data.items()}
+        data, layout = pack_dataset(data)
+        return {k: jnp.asarray(v) for k, v in data.items()}, layout
 
     def _override(self):
         """Linear-tower weight-override vector, rebuilt from the live
@@ -119,7 +123,7 @@ class Trainer:
     def predict(self, X, training=False, batch_number_to_show_progress=50):
         """Batched forward (reference DeepModel.py:45-70). ``training=True``
         keeps dropout live, as the reference's in-fit eval does."""
-        data = self._to_device(X)
+        data, layout = self._to_device(X)
         n = int(data["y"].shape[0])
         idx = batch_indices(n, self.batch_size)
         override = None if training else self._override()
@@ -127,7 +131,8 @@ class Trainer:
         outs = []
         for i in range(idx.shape[0]):
             preds = self._eval_step(
-                self.state.params, data, jnp.asarray(idx[i]), override, training
+                self.state.params, data, jnp.asarray(idx[i]), override, training,
+                layout,
             )
             outs.append(np.asarray(preds))
             if i % batch_number_to_show_progress == 0:
@@ -140,15 +145,18 @@ class Trainer:
         y = np.asarray(y, dtype=np.float32)
         return [metric(y, pred) for metric in self.metrics]
 
-    def fit_on_batch(self, data: dict, idx) -> float:
+    def fit_on_batch(self, data: dict, idx, layout=()) -> float:
         """Single compiled step (reference fit_on_batch, xDeepFM.py:116-126)."""
-        self.state, loss = self._train_step(self.state, data, jnp.asarray(idx))
+        self.state, loss = self._train_step(
+            self.state, data, jnp.asarray(idx), layout
+        )
         return float(loss)
 
-    def _eval_at_epoch(self, data_train, y_train, X_valid, y_valid, start_time, epoch):
+    def _eval_at_epoch(self, data_train, y_train, X_valid, y_valid, start_time,
+                       epoch, layout=()):
         """Per-epoch train/valid metric log (reference DeepModel.py:92-131)."""
         training = self.eval_in_training_mode
-        train_pred = self._predict_device(data_train, training)
+        train_pred = self._predict_device(data_train, training, layout)
         train_res = [m(y_train, train_pred) for m in self.metrics]
         valid_res = None
         if X_valid is not None and y_valid is not None:
@@ -169,14 +177,15 @@ class Trainer:
             )
         return train_res, valid_res
 
-    def _predict_device(self, data: dict, training: bool) -> np.ndarray:
+    def _predict_device(self, data: dict, training: bool, layout=()) -> np.ndarray:
         n = int(data["y"].shape[0])
         idx = batch_indices(n, self.batch_size)
         override = None if training else self._override()
         outs = [
             np.asarray(
                 self._eval_step(
-                    self.state.params, data, jnp.asarray(idx[i]), override, training
+                    self.state.params, data, jnp.asarray(idx[i]), override,
+                    training, layout,
                 )
             )
             for i in range(idx.shape[0])
@@ -202,14 +211,14 @@ class Trainer:
         if tb_logger is not None:
             tb_logger.configure_hparams(self.hparams, self.metrics)
 
-        data = self._to_device(X_train, y_train)
+        data, layout = self._to_device(X_train, y_train)
         y_np = np.asarray(y_train, dtype=np.float32)
         n = len(y_np)
 
         if tb_logger is not None:
             tb_logger.trace_on(epoch=0)
         eval_results = self._eval_at_epoch(
-            data, y_np, X_valid, y_valid, time(), epoch=0
+            data, y_np, X_valid, y_valid, time(), epoch=0, layout=layout
         )
         if tb_logger is not None:
             tb_logger.trace_off(epoch=0)
@@ -232,7 +241,7 @@ class Trainer:
             for i in range(idx.shape[0]):
                 if tb_logger is not None and i % batch_number_to_show_progress == 0:
                     tb_logger.trace_on(epoch)
-                losses.append(self.fit_on_batch(data, idx[i]))
+                losses.append(self.fit_on_batch(data, idx[i], layout))
                 if tb_logger is not None and i % batch_number_to_show_progress == 0:
                     tb_logger.trace_off(epoch)
                 if i % batch_number_to_show_progress == 0:
@@ -243,7 +252,8 @@ class Trainer:
             )
 
             eval_results = self._eval_at_epoch(
-                data, y_np, X_valid, y_valid, start_time, epoch=epoch
+                data, y_np, X_valid, y_valid, start_time, epoch=epoch,
+                layout=layout,
             )
             if tb_logger is not None:
                 tb_logger.log_params(
