@@ -1,3 +1,4 @@
+from .distributed import enable_debug_checks, initialize_cluster
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -16,6 +17,8 @@ from .train_pjit import (
 
 __all__ = [
     "DATA_AXIS",
+    "enable_debug_checks",
+    "initialize_cluster",
     "MODEL_AXIS",
     "ShardedTrainer",
     "batch_sharding",

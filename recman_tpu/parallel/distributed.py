@@ -1,0 +1,70 @@
+"""Multi-host runtime bootstrap.
+
+The reference is single-process (SURVEY.md §2.8); this is the thin
+host-side control layer a pod-slice run needs. All data-plane
+communication is XLA collectives over ICI/DCN — there is no user-level
+transport (no NCCL/MPI analog required on TPU).
+
+Typical multi-host entry:
+
+    from recman_tpu.parallel import initialize_cluster, make_mesh
+    initialize_cluster()          # no-op on a single host
+    mesh = make_mesh(model=4)     # global mesh over all hosts' devices
+    trainer = ShardedTrainer(model, mesh=mesh, ...)
+
+On Cloud TPU the coordinator address / process ids come from the
+environment, so ``jax.distributed.initialize()`` needs no arguments.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+
+log = logging.getLogger(__name__)
+
+
+def initialize_cluster(coordinator_address=None, num_processes=None,
+                       process_id=None, timeout_s=300) -> bool:
+    """Initialize jax.distributed when running multi-process; returns
+    whether a multi-process runtime is active. Safe to call on one host.
+    """
+    try:
+        already = jax.process_count() > 1
+    except Exception:
+        already = False
+    if already:
+        return True
+    if coordinator_address is None and num_processes is None:
+        import os
+
+        if not any(
+            v in os.environ
+            for v in ("COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
+        ):
+            log.info("single-process run; skipping jax.distributed.initialize")
+            return False
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(
+        initialization_timeout=timeout_s, **kwargs
+    )
+    log.info(
+        "jax.distributed initialized: process %d/%d, %d local / %d global devices",
+        jax.process_index(), jax.process_count(),
+        jax.local_device_count(), jax.device_count(),
+    )
+    return jax.process_count() > 1
+
+
+def enable_debug_checks(nans=True, infs=False):
+    """Numerical-debug mode (SURVEY.md §5 race-detection/sanitizer row):
+    make any NaN/Inf produced under jit raise immediately."""
+    jax.config.update("jax_debug_nans", bool(nans))
+    jax.config.update("jax_debug_infs", bool(infs))

@@ -6,6 +6,7 @@ from .numerics import (
     count_parameters,
     l2_loss,
     mean_squared_error,
+    split_train_test,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "count_parameters",
     "l2_loss",
     "mean_squared_error",
+    "split_train_test",
 ]

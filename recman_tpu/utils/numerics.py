@@ -47,3 +47,13 @@ def compute_hidden_units_s2(num_hidden_layers, input_neurons, output_neurons=1):
 def count_parameters(params: dict) -> int:
     """Total parameter count over a flat params dict (reference utils.py:216-225)."""
     return sum(int(v.size) for v in params.values())
+
+
+def split_train_test(df_all, frac=0.8, random_seed=2019):
+    """Train/valid/test split by sampling (reference utils.py:11-24):
+    frac to train, half the remainder each to valid and test."""
+    df_train = df_all.sample(frac=frac, random_state=random_seed)
+    df_rest = df_all.drop(df_train.index)
+    df_valid = df_rest.sample(frac=0.5, random_state=random_seed)
+    df_test = df_rest.drop(df_valid.index)
+    return df_train, df_valid, df_test
