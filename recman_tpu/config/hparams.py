@@ -90,6 +90,7 @@ class xDeepFMHyperParams(BaseHyperParameters):
     CinDropOut = "cin_dropout"
     CinActivation = "cin_activation"
     CinL2Reg = "cin_l2_reg"
+    CinComputeDtype = "cin_compute_dtype"
 
     def __init__(self):
         super().__init__()
@@ -105,6 +106,7 @@ class xDeepFMHyperParams(BaseHyperParameters):
         self.add_param(self.CinDropOut, (1, 1, 1, 1))
         self.add_param(self.CinActivation, "leaky_relu")
         self.add_param(self.CinL2Reg, 0.00001)
+        self.add_param(self.CinComputeDtype, "bfloat16")
 
 
 class FMHyperParams(BaseHyperParameters):

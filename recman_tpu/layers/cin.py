@@ -39,6 +39,7 @@ class CIN:
         dropout_keep,
         l2_reg=1e-5,
         prefix="",
+        compute_dtype="bfloat16",
     ):
         assert len(cross_layer_units) > 0
         assert len(cross_layer_units) + 1 == len(dropout_keep)
@@ -51,6 +52,9 @@ class CIN:
         self.dropout_keep = tuple(dropout_keep)
         self.l2_reg = l2_reg
         self.prefix = prefix
+        # z-intermediate / MXU-multiplicand precision (f32 accumulation);
+        # bf16 halves the layer's HBM traffic — see ops/cin_interact.py
+        self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
 
         # field_nums[i] = H_i, the fan-in of layer i (reference layers.py:659-685)
         self.field_nums = [field_size]
@@ -92,7 +96,10 @@ class CIN:
 
         for i, size in enumerate(self.cross_layer_units):
             pre = (
-                cin_interact(x0t, xkt, params[f"{self.prefix}cin_filter_{i}"])
+                cin_interact(
+                    x0t, xkt, params[f"{self.prefix}cin_filter_{i}"],
+                    dtype=self.compute_dtype,
+                )
                 + params[f"{self.prefix}cin_bias_{i}"]
             )  # (B, D, size)
             fmap = self.activation(pre)

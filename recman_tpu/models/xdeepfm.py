@@ -39,6 +39,7 @@ class XDeepFM(Model):
             activation=hp[HP.CinActivation],
             dropout_keep=hp[HP.CinDropOut],
             l2_reg=hp[HP.CinL2Reg],
+            compute_dtype=hp.get(HP.CinComputeDtype, "bfloat16"),
         )
         dnn_input_dim = (
             self.embeddings.field_size * hp[HP.EmbeddingSize]

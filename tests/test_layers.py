@@ -221,7 +221,7 @@ class TestCIN:
         inputs = rs.randn(B, F, D).astype(np.float32)
 
         cin = CIN(field_size=F, cross_layer_units=units, activation="identity",
-                  dropout_keep=(1, 1, 1))
+                  dropout_keep=(1, 1, 1), compute_dtype="float32")
         params = cin.init(rng)
         filters = [np.asarray(params[f"cin_filter_{i}"]) for i in range(len(units))]
         biases = [np.asarray(params[f"cin_bias_{i}"]) for i in range(len(units))]
@@ -237,7 +237,7 @@ class TestCIN:
         inputs = np.asarray([[[1, 2, 3, 4], [5, 6, 7, 8]]], dtype=np.float32)
         units = (16, 16)
         cin = CIN(field_size=2, cross_layer_units=units, activation="identity",
-                  dropout_keep=(1, 1, 1))
+                  dropout_keep=(1, 1, 1), compute_dtype="float32")
         params = cin.init(rng)
         for i, size in enumerate(units):
             params[f"cin_filter_{i}"] = jnp.ones_like(params[f"cin_filter_{i}"])
