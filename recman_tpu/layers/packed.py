@@ -36,7 +36,7 @@ from ..features import (
     SparseFeat,
     SparseValueFeat,
 )
-from ..ops.embedding import embedding_lookup
+from ..ops.embedding import embedding_lookup, embedding_lookup_grouped
 
 
 class PackedEmbeddingLinear:
@@ -74,6 +74,8 @@ class PackedEmbeddingLinear:
         embeds_by_name, bias_by_name = {}, {}
         linear_logit = params[f"{lin.prefix}linear_w0"]
 
+        # phase 1: build each feature's packed [table|bias|w] matrix and ids
+        packed_mats, ids_mats = [], []
         for feat in self.packable:
             # tables may carry mesh-divisibility tail padding
             # (parallel/sharding.py); slice back to the logical vocab so
@@ -86,24 +88,31 @@ class PackedEmbeddingLinear:
                 )
             off = lin.offsets[feat.name]
             cols.append(w[off : off + feat.feat_size][:, None])
-            packed = jnp.concatenate(cols, axis=1)  # (V, k [+1] +1)
+            packed_mats.append(jnp.concatenate(cols, axis=1))  # (V, k [+1] +1)
+            if isinstance(feat, (MultiValCsvFeat, MultiValSparseFeat)):
+                ids_mats.append(jnp.maximum(batch[feat.name], 0))
+            else:
+                ids_mats.append(batch[feat.name])
 
+        # phase 2: grouped lookup — same-shape features share one batched
+        # sort/permute in the backward (ops.embedding_lookup_grouped)
+        rows_list = embedding_lookup_grouped(packed_mats, ids_mats)
+
+        # phase 3: per-type postprocessing
+        for feat, rows in zip(self.packable, rows_list):
             if isinstance(feat, SparseValueFeat):
-                rows = embedding_lookup(packed, batch[feat.name])
                 rows = rows * batch[feat.value_key][:, None]
                 embeds_by_name[feat.name] = rows[:, None, :k]
                 if use_bias:
                     bias_by_name[feat.name] = rows[:, None, k : k + 1]
                 linear_logit = linear_logit + rows[:, -1:]
             elif isinstance(feat, SparseFeat):
-                rows = embedding_lookup(packed, batch[feat.name])
                 embeds_by_name[feat.name] = rows[:, None, :k]
                 if use_bias:
                     bias_by_name[feat.name] = rows[:, None, k : k + 1]
                 linear_logit = linear_logit + rows[:, -1:]
-            elif isinstance(feat, (MultiValCsvFeat, MultiValSparseFeat)):
+            else:  # multi-val
                 ids = batch[feat.name]  # (B, L)
-                rows = embedding_lookup(packed, jnp.maximum(ids, 0))  # (B, L, W)
                 present = (ids >= 0).astype(rows.dtype)
                 combined = jnp.einsum("blw,bl->bw", rows, present)
                 count = jnp.sum(present, axis=1, keepdims=True)
@@ -118,8 +127,6 @@ class PackedEmbeddingLinear:
                 linear_logit = linear_logit + jnp.einsum(
                     "bl,bl->b", rows[:, :, -1], pos
                 )[:, None]
-            else:
-                raise NotImplementedError(type(feat))
 
         # unpacked remainder of the embedding tower (tied/sequence feats,
         # feats outside the linear selector)

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from recman_tpu.ops import embedding_lookup, fused_grad
-from recman_tpu.ops.embedding import _segment_matmul_grad
+from recman_tpu.ops.embedding import _segment_matmul_grad, embedding_lookup_multi
 
 
 class TestSegmentMatmulGrad:
@@ -95,3 +95,36 @@ class TestEmbeddingLookupVJP:
                 np.asarray(g_fused[name]), np.asarray(g_plain[name]),
                 rtol=1e-4, atol=1e-6, err_msg=name,
             )
+
+
+class TestLookupMulti:
+    def test_batched_bwd_matches_per_table(self):
+        """Batched-sort backward == independent per-table take grads."""
+        rs = np.random.RandomState(5)
+        T, V, N, K = 4, 60, 32, 6
+        tables = [jnp.asarray(rs.randn(V, K), dtype=jnp.float32) for _ in range(T)]
+        ids = [jnp.asarray(rs.randint(0, V, N), dtype=jnp.int32) for _ in range(T)]
+        wts = [jnp.asarray(rs.randn(N, K), dtype=jnp.float32) for _ in range(T)]
+
+        def loss_multi(tabs):
+            with fused_grad(True):
+                rows = embedding_lookup_multi(list(tabs), ids)
+            return sum(jnp.sum(r * w) for r, w in zip(rows, wts))
+
+        def loss_plain(tabs):
+            rows = [jnp.take(t, i, axis=0) for t, i in zip(tabs, ids)]
+            return sum(jnp.sum(r * w) for r, w in zip(rows, wts))
+
+        g1 = jax.grad(loss_multi)(tuple(tables))
+        g2 = jax.grad(loss_plain)(tuple(tables))
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_multi_dim_ids(self):
+        tables = [jnp.arange(20, dtype=jnp.float32).reshape(10, 2)] * 2
+        ids = [jnp.asarray([[0, 1], [2, 3]], dtype=jnp.int32)] * 2
+        with fused_grad(True):
+            rows = embedding_lookup_multi(tables, ids)
+        assert rows[0].shape == (2, 2, 2)
+        np.testing.assert_allclose(np.asarray(rows[1][1, 1]), [6.0, 7.0])
