@@ -51,33 +51,41 @@ def create_criteo_features(num_buckets=DEFAULT_BUCKETS) -> FeatureSet:
     return fs
 
 
-def load_criteo_tsv(path, max_rows=None) -> dict[str, np.ndarray]:
-    """Stream a Criteo TSV into raw column arrays (label, ints, cat strings).
+def load_criteo_tsv(path, max_rows=None, chunksize=1_000_000) -> dict[str, np.ndarray]:
+    """Load a Criteo TSV into raw column arrays (label, ints, cat strings).
 
-    Returns {'y', 'I1'.., 'C1'..} with ints as float32 (missing -> 0) and
-    cats as object arrays (missing -> ''). Feed through
-    FeatureSet.transform to hash/scale.
+    Vectorized via pandas' C engine in chunks (a Python line loop is ~50x
+    slower — full Criteo is ~4.4B lines). Returns {'y', 'I1'.., 'C1'..}
+    with ints as float32 (missing -> 0) and cats as object arrays
+    (missing -> ''). Feed through FeatureSet.transform to hash/scale.
     """
-    labels = []
-    ints = [[] for _ in range(NUM_INT_FEATURES)]
-    cats = [[] for _ in range(NUM_CAT_FEATURES)]
-    with open(path) as f:
-        for i, line in enumerate(f):
-            if max_rows is not None and i >= max_rows:
-                break
-            parts = line.rstrip("\n").split("\t")
-            labels.append(int(parts[0]))
-            for j in range(NUM_INT_FEATURES):
-                v = parts[1 + j] if 1 + j < len(parts) else ""
-                ints[j].append(float(v) if v else 0.0)
-            for j in range(NUM_CAT_FEATURES):
-                v = parts[1 + NUM_INT_FEATURES + j] if 1 + NUM_INT_FEATURES + j < len(parts) else ""
-                cats[j].append(v)
-    out = {"y": np.asarray(labels, dtype=np.float32)}
-    for name, col in zip(INT_NAMES, ints):
-        out[name] = np.asarray(col, dtype=np.float32)
-    for name, col in zip(CAT_NAMES, cats):
-        out[name] = np.asarray(col, dtype=object)
+    import pandas as pd
+
+    names = ["y"] + list(INT_NAMES) + list(CAT_NAMES)
+    dtype = {n: np.float32 for n in INT_NAMES}
+    dtype["y"] = np.float32
+    chunks = []
+    read = 0
+    for chunk in pd.read_csv(
+        path, sep="\t", header=None, names=names, dtype=dtype,
+        chunksize=chunksize, engine="c", na_filter=True,
+    ):
+        if max_rows is not None and read + len(chunk) > max_rows:
+            chunk = chunk.iloc[: max_rows - read]
+        chunks.append(chunk)
+        read += len(chunk)
+        if max_rows is not None and read >= max_rows:
+            break
+    df = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+
+    out = {"y": df["y"].to_numpy(dtype=np.float32)}
+    for name in INT_NAMES:
+        out[name] = np.nan_to_num(
+            df[name].to_numpy(dtype=np.float32), nan=0.0
+        )
+    for name in CAT_NAMES:
+        col = df[name].fillna("").to_numpy(dtype=object)
+        out[name] = col
     return out
 
 

@@ -154,15 +154,27 @@ def hash_bucket(values, num_buckets: int) -> np.ndarray:
 
     The hashed-vocab mechanism for very large cardinalities (Criteo).
     Reference precedent: MultiValSparseFeat.to_sparse_tensor hashes values
-    with strings.to_hash_bucket_fast (inputs.py:361-371). We use FNV-1a,
-    stable across processes (unlike Python's randomized hash()).
+    with strings.to_hash_bucket_fast (inputs.py:361-371). Uses pandas'
+    vectorized siphash with a FIXED key (stable across processes, unlike
+    Python's randomized hash()) and categorize=True so heavy-tailed id
+    columns hash each distinct value once; falls back to a pure-python
+    FNV-1a loop if pandas is unavailable.
     """
     values = np.asarray(values)
-    out = np.empty(len(values), dtype=np.int64)
-    for i, v in enumerate(values.tolist()):
-        data = v if isinstance(v, bytes) else str(v).encode("utf-8")
-        h = 0xCBF29CE484222325
-        for b in data:
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h % num_buckets
-    return out.astype(np.int32)
+    try:
+        import pandas as pd
+
+        hashed = pd.util.hash_array(
+            values if values.dtype == object else values.astype(object),
+            categorize=True,
+        )
+        return (hashed % np.uint64(num_buckets)).astype(np.int32)
+    except ImportError:  # pragma: no cover
+        out = np.empty(len(values), dtype=np.int64)
+        for i, v in enumerate(values.tolist()):
+            data = v if isinstance(v, bytes) else str(v).encode("utf-8")
+            h = 0xCBF29CE484222325
+            for b in data:
+                h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            out[i] = h % num_buckets
+        return out.astype(np.int32)
