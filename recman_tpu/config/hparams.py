@@ -91,6 +91,7 @@ class xDeepFMHyperParams(BaseHyperParameters):
     CinActivation = "cin_activation"
     CinL2Reg = "cin_l2_reg"
     CinComputeDtype = "cin_compute_dtype"
+    CinRemat = "cin_remat"
 
     def __init__(self):
         super().__init__()
@@ -107,6 +108,7 @@ class xDeepFMHyperParams(BaseHyperParameters):
         self.add_param(self.CinActivation, "leaky_relu")
         self.add_param(self.CinL2Reg, 0.00001)
         self.add_param(self.CinComputeDtype, "bfloat16")
+        self.add_param(self.CinRemat, False)
 
 
 class FMHyperParams(BaseHyperParameters):

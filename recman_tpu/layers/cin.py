@@ -40,6 +40,7 @@ class CIN:
         l2_reg=1e-5,
         prefix="",
         compute_dtype="bfloat16",
+        remat=False,
     ):
         assert len(cross_layer_units) > 0
         assert len(cross_layer_units) + 1 == len(dropout_keep)
@@ -55,6 +56,7 @@ class CIN:
         # z-intermediate / MXU-multiplicand precision (f32 accumulation);
         # bf16 halves the layer's HBM traffic — see ops/cin_interact.py
         self.compute_dtype = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
+        self.remat = remat
 
         # field_nums[i] = H_i, the fan-in of layer i (reference layers.py:659-685)
         self.field_nums = [field_size]
@@ -94,12 +96,20 @@ class CIN:
         xkt = x0t
         finals = []
 
+        def interact(x0t, xkt, w):
+            return cin_interact(x0t, xkt, w, dtype=self.compute_dtype)
+
+        if self.remat:
+            # rematerialize z in the backward instead of keeping layer
+            # activations: trades ~2x CIN recompute for O(B*D*X) memory —
+            # the enabler for 128k+ batches on a 16 GB chip
+            import jax
+
+            interact = jax.checkpoint(interact)
+
         for i, size in enumerate(self.cross_layer_units):
             pre = (
-                cin_interact(
-                    x0t, xkt, params[f"{self.prefix}cin_filter_{i}"],
-                    dtype=self.compute_dtype,
-                )
+                interact(x0t, xkt, params[f"{self.prefix}cin_filter_{i}"])
                 + params[f"{self.prefix}cin_bias_{i}"]
             )  # (B, D, size)
             fmap = self.activation(pre)

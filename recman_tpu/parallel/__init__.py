@@ -7,6 +7,7 @@ from .mesh import (
     replicated,
     row_sharding,
 )
+from .shard_lookup import sharded_embedding_lookup
 from .sharding import pad_vocab_for_mesh, param_specs, place_params
 from .train_pjit import (
     ShardedTrainer,
@@ -31,4 +32,5 @@ __all__ = [
     "replicated",
     "row_sharding",
     "shard_init_state",
+    "sharded_embedding_lookup",
 ]
