@@ -145,12 +145,17 @@ class Trainer:
         y = np.asarray(y, dtype=np.float32)
         return [metric(y, pred) for metric in self.metrics]
 
-    def fit_on_batch(self, data: dict, idx, layout=()) -> float:
-        """Single compiled step (reference fit_on_batch, xDeepFM.py:116-126)."""
+    def fit_on_batch(self, data: dict, idx, layout=()):
+        """Single compiled step (reference fit_on_batch, xDeepFM.py:116-126).
+
+        Returns the loss as a DEVICE array — converting to float here would
+        force a device->host sync per step and stall the dispatch pipeline
+        (the tunnel round-trip costs ~ms); the fit loop converts once per
+        epoch."""
         self.state, loss = self._train_step(
             self.state, data, jnp.asarray(idx), layout
         )
-        return float(loss)
+        return loss
 
     def _eval_at_epoch(self, data_train, y_train, X_valid, y_valid, start_time,
                        epoch, layout=()):
@@ -248,7 +253,7 @@ class Trainer:
                     log.debug("Fit: %d/%d batches", i + 1, idx.shape[0])
             log.info(
                 "Fit epoch %d: %d batches, mean loss %.5f",
-                epoch, idx.shape[0], float(np.mean(losses)),
+                epoch, idx.shape[0], float(np.mean([float(l) for l in losses])),
             )
 
             eval_results = self._eval_at_epoch(
