@@ -20,13 +20,23 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .mesh import MODEL_AXIS
 
 
-def param_specs(params: dict, row_shard_threshold=50_000) -> dict:
+def param_specs(params: dict, row_shard_threshold=50_000,
+                tp_dense_threshold=None) -> dict:
     """name -> PartitionSpec for a flat param dict.
 
     Row-shards ``*_feat_embed`` / ``*_feat_bias`` tables and the linear
     tower's vocab-length ``linear_w`` when their row count crosses the
     threshold AND divides the mesh's model axis (checked at placement).
+
+    ``tp_dense_threshold``: when set, DNN tower matrices whose size
+    crosses it get tensor-parallel sharding over the model axis —
+    Megatron-style alternation (even layers column-sharded, odd layers
+    row-sharded) so the partitioner inserts one all-reduce per pair
+    instead of one per layer; per-layer bias follows its layer's output
+    sharding.
     """
+    import re
+
     specs = {}
     for name, value in params.items():
         rows = value.shape[0] if value.ndim else 0
@@ -37,8 +47,20 @@ def param_specs(params: dict, row_shard_threshold=50_000) -> dict:
         )
         if is_vocab_array and value.ndim >= 1 and rows >= row_shard_threshold:
             specs[name] = P(MODEL_AXIS, *([None] * (value.ndim - 1)))
-        else:
-            specs[name] = P()
+            continue
+        if tp_dense_threshold is not None:
+            m = re.search(r"dnn_layer_(\d+)_(weights|bias)$", name)
+            if m and value.size >= tp_dense_threshold:
+                layer, kind = int(m.group(1)), m.group(2)
+                col_sharded = layer % 2 == 0  # Megatron alternation
+                if kind == "weights":
+                    specs[name] = (
+                        P(None, MODEL_AXIS) if col_sharded else P(MODEL_AXIS, None)
+                    )
+                else:
+                    specs[name] = P(MODEL_AXIS) if col_sharded else P()
+                continue
+        specs[name] = P()
     return specs
 
 
@@ -67,13 +89,25 @@ def place_params(params: dict, mesh, specs: dict | None = None,
     placed = {}
     for name, value in params.items():
         spec = specs[name]
+        is_vocab_array = (
+            name.endswith("_feat_embed")
+            or name.endswith("_feat_bias")
+            or name.endswith("linear_w")
+        )
         if spec != P():
-            rows = value.shape[0]
-            padded_rows = pad_vocab_for_mesh(rows, model_n)
-            if padded_rows != rows:
-                pad_width = [(0, padded_rows - rows)] + [(0, 0)] * (value.ndim - 1)
-                value = jax.numpy.asarray(
-                    np.pad(np.asarray(value), pad_width)
-                )
+            if is_vocab_array:
+                # vocab rows pad safely: ids never address the tail
+                rows = value.shape[0]
+                padded_rows = pad_vocab_for_mesh(rows, model_n)
+                if padded_rows != rows:
+                    pad_width = [(0, padded_rows - rows)] + [(0, 0)] * (value.ndim - 1)
+                    value = jax.numpy.asarray(np.pad(np.asarray(value), pad_width))
+            else:
+                # dense (TP) dims are structural — replicate when they
+                # don't divide the axis
+                for dim, axis_name in enumerate(spec):
+                    if axis_name == MODEL_AXIS and value.shape[dim] % model_n != 0:
+                        spec = P()
+                        break
         placed[name] = jax.device_put(value, NamedSharding(mesh, spec))
     return placed

@@ -37,12 +37,13 @@ from .sharding import param_specs, place_params
 log = logging.getLogger(__name__)
 
 
-def shard_init_state(model, optimizer, rng, mesh, row_shard_threshold=50_000) -> TrainState:
+def shard_init_state(model, optimizer, rng, mesh, row_shard_threshold=50_000,
+                     tp_dense_threshold=None) -> TrainState:
     """Init params host-side, place them per spec, then build opt state
     under jit so its leaves inherit the param shardings."""
     init_rng, state_rng = jax.random.split(rng)
     params = model.init_params(init_rng)
-    specs = param_specs(params, row_shard_threshold)
+    specs = param_specs(params, row_shard_threshold, tp_dense_threshold)
     params = place_params(params, mesh, specs)
     opt_state = jax.jit(optimizer.init)(params)
     return TrainState(
@@ -117,7 +118,7 @@ class ShardedTrainer(Trainer):
 
     def __init__(self, model, hparams=None, metrics=(), epoch=10, batch_size=64,
                  random_seed=2019, eval_in_training_mode=False, mesh=None,
-                 row_shard_threshold=50_000):
+                 row_shard_threshold=50_000, tp_dense_threshold=None):
         self.mesh = mesh if mesh is not None else make_mesh()
         data_n = self.mesh.shape[DATA_AXIS]
         assert batch_size % data_n == 0, (
@@ -145,7 +146,7 @@ class ShardedTrainer(Trainer):
         self._eval_step = make_sharded_eval_step(model, self.mesh)
         self.state = shard_init_state(
             model, self.optimizer, jax.random.PRNGKey(random_seed), self.mesh,
-            row_shard_threshold,
+            row_shard_threshold, tp_dense_threshold,
         )
         n_sharded = sum(
             1

@@ -156,3 +156,39 @@ class TestShardedLookup:
             sharded_embedding_lookup(t, ids, mesh24) * w))(table)
         g2 = jax.grad(lambda t: jnp.sum(jnp.take(t, ids, axis=0) * w))(table)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
+
+
+class TestTensorParallelDense:
+    def test_tp_dnn_trains(self, mesh24):
+        """Megatron-style alternating column/row sharding on the DNN tower
+        compiles and learns on the 2x4 mesh."""
+        from recman_tpu.models import XDeepFM
+
+        fs, data = _criteo_setup(num_buckets=2000, n=256)
+        model = XDeepFM(fs, {"embedding_size": 4,
+                             "cin_cross_layer_units": (8, 8),
+                             "cin_dropout": (1, 1, 1),
+                             "deep_hidden_units": (64, 64),
+                             "deep_dropout": (1.0, 1.0, 1.0)})
+        trainer = ShardedTrainer(
+            model, {"learning_rate": 0.01, "optimizer": "adam"},
+            metrics=(LogLoss(),), epoch=1, batch_size=64, random_seed=2019,
+            mesh=mesh24, tp_dense_threshold=1000,
+        )
+        w0 = trainer.state.params["dnn_layer_0_weights"]
+        w1 = trainer.state.params["dnn_layer_1_weights"]
+        assert w0.sharding.spec == P(None, MODEL_AXIS)  # column-sharded
+        assert w1.sharding.spec in (P(MODEL_AXIS, None), P(MODEL_AXIS))
+        y = data["y"]
+        before = trainer.evaluate(data, y)[0]
+        trainer.fit(data, y, random_seed_for_mini_batch=False)
+        assert trainer.evaluate(data, y)[0] < before
+
+    def test_indivisible_dims_fall_back(self, mesh24):
+        from recman_tpu.parallel.sharding import param_specs, place_params
+
+        params = {"dnn_layer_0_weights": jnp.zeros((100, 66))}  # 66 % 4 != 0
+        specs = param_specs(params, tp_dense_threshold=100)
+        assert specs["dnn_layer_0_weights"] == P(None, MODEL_AXIS)
+        placed = place_params(params, mesh24, specs)
+        assert placed["dnn_layer_0_weights"].sharding.spec == P()
