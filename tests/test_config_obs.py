@@ -1,0 +1,90 @@
+"""Config grid-search + observability tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from recman_tpu.config import BaseHyperParameters, xDeepFMHyperParams
+from recman_tpu.obs import TensorBoardLogger
+from recman_tpu.training import LogLoss, RocAucScore
+
+
+class TestGridSearch:
+    def test_cartesian_product(self):
+        """reference BaseHyperParameters.grid_search (BaseHyperParameters.py:90-100)."""
+        hp = BaseHyperParameters()
+        hp[BaseHyperParameters.LearningRate]([0.01, 0.005])
+        hp[BaseHyperParameters.Optimizer](["adam", "sgd"])
+        combos = list(hp.grid_search())
+        assert len(combos) == 4
+        assert {c["learning_rate"] for c in combos} == {0.01, 0.005}
+        assert {c["optimizer"] for c in combos} == {"adam", "sgd"}
+        # every combo carries every registered param
+        assert all(set(c) == set(hp.keys()) for c in combos)
+
+    def test_domain_reset(self):
+        hp = BaseHyperParameters()
+        hp[BaseHyperParameters.LearningRate]([0.1, 0.2])
+        hp[BaseHyperParameters.LearningRate]()  # reset to default
+        assert hp[BaseHyperParameters.LearningRate].hp_domain == [0.001]
+
+    def test_advanced_dtype_flag(self):
+        hp = xDeepFMHyperParams()
+        assert hp[xDeepFMHyperParams.DeepHiddenUnits].advanced_dtype  # tuple
+        assert not hp[xDeepFMHyperParams.LearningRate].advanced_dtype
+
+    def test_model_defaults_match_reference(self):
+        """reference hparams/xDeepFM.py:23-34 defaults."""
+        d = xDeepFMHyperParams().defaults()
+        assert d["embedding_size"] == 8
+        assert d["deep_hidden_units"] == (32, 32)
+        assert d["deep_dropout"] == (0.8, 0.8, 0.8)
+        assert d["cin_cross_layer_units"] == (100, 100, 100)
+        assert d["embedding_l2_reg"] == pytest.approx(1e-5)
+
+
+class TestTensorBoardLogger:
+    def test_writes_event_files(self, tmp_path):
+        hp = xDeepFMHyperParams()
+        tb = TensorBoardLogger(hp, sess_num=0, log_dir=str(tmp_path), run_name="t")
+        tb.configure_hparams(hp.defaults(), (LogLoss(), RocAucScore()))
+        tb.log_params(
+            epoch=1,
+            eval_results=([0.5, 0.7], [0.6, 0.65]),
+            metrics=(LogLoss(), RocAucScore()),
+            variables={"w": np.ones((4, 2))},
+        )
+        tb.close()
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(tmp_path) for f in fs
+        ]
+        assert any("tfevents" in f for f in files), files
+
+    def test_trace_hooks_are_safe_noops_when_disabled(self, tmp_path):
+        tb = TensorBoardLogger(sess_num=0, log_dir=str(tmp_path), profile=False)
+        tb.trace_on(epoch=1)
+        tb.trace_off(epoch=1)  # must not raise
+        tb.close()
+
+
+class TestEvalInTrainingMode:
+    def test_quirk_replication(self, synthetic_df, synthetic_features):
+        """eval_in_training_mode=True evaluates with dropout live
+        (reference DeepModel.py:103-111) — predictions differ from the
+        deterministic eval path but stay finite."""
+        from recman_tpu.models import XDeepFM
+        from recman_tpu.training import Trainer
+
+        model = XDeepFM(synthetic_features)
+        trainer = Trainer(model, epoch=1, batch_size=16, random_seed=2019,
+                          eval_in_training_mode=True)
+        y = synthetic_df["LABEL"].values
+        trainer.fit(synthetic_df, y, random_seed_for_mini_batch=False)
+        p_train_mode = trainer.predict(synthetic_df, training=True)
+        p_eval_mode = trainer.predict(synthetic_df, training=False)
+        assert np.isfinite(p_train_mode).all()
+        # dropout at keep=0.8 in the DNN makes the paths differ
+        assert not np.allclose(p_train_mode, p_eval_mode)
