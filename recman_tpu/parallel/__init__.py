@@ -7,7 +7,10 @@ from .mesh import (
     replicated,
     row_sharding,
 )
-from .shard_lookup import sharded_embedding_lookup
+from .shard_lookup import (
+    dedup_embedding_lookup,
+    sharded_embedding_lookup,
+)
 from .sharding import pad_vocab_for_mesh, param_specs, place_params
 from .train_pjit import (
     ShardedTrainer,
@@ -23,6 +26,7 @@ __all__ = [
     "MODEL_AXIS",
     "ShardedTrainer",
     "batch_sharding",
+    "dedup_embedding_lookup",
     "make_mesh",
     "make_sharded_eval_step",
     "make_sharded_train_step",

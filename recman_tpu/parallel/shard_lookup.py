@@ -1,24 +1,55 @@
-"""Explicit sharded embedding lookup via shard_map (masked gather + psum).
+"""Explicit sharded embedding lookups via shard_map.
 
-The default SPMD path lets the XLA partitioner decide how to execute a
-gather against a row-sharded table. This module is the EXPLICIT version
-of that exchange — each model shard gathers the rows it owns (ids outside
-its range masked to zero) and an ICI all-reduce over the ``model`` axis
-assembles full rows everywhere:
+Two formulations of the row-sharded-table exchange (SURVEY.md §2.8's
+"hard part" — the reference recman/tf/core/layers.py:117-128 only ever
+gathers from a local dense table):
 
-    rows = psum_over_model( mask(ids in my range) * my_shard[ids - base] )
+1. ``sharded_embedding_lookup`` — masked gather + psum. Each model shard
+   gathers the rows it owns (ids outside its range masked to zero) and an
+   ICI all-reduce over ``model`` assembles full rows everywhere. This is
+   communication-equivalent to what the XLA partitioner emits for a gather
+   against a P('model') table: every result row crosses ICI ~2x
+   (reduce-scatter + all-gather halves of the all-reduce), duplicates
+   included.
 
-This is communication-equivalent to what the partitioner emits, but
-written out it becomes the substrate for the round-2 optimization SURVEY
-§2.8 calls the hard part: deduplicating ids on-device (sort + run-length)
-and switching the exchange to all_to_all so each row crosses ICI once
-instead of being reduced across all shards.
+2. ``dedup_embedding_lookup`` — sort + run-length dedup + capacity-bounded
+   all-gather: the DLRM-style exchange (PAPERS.md: 1906.00091),
+   TPU-shaped. Per model group:
 
-Not yet wired into ShardedTrainer (the partitioner path performs the same
-collectives); covered by CPU-mesh equivalence tests.
+       a. sort the (replicated) batch ids once, jointly with their
+          original positions;
+       b. run-length dedup the sorted ids: unique slot u(j) = cumsum of
+          first-occurrence flags; U <= N uniques;
+       c. each shard gathers ONLY the unique rows it owns — at most
+          ``capacity`` of them — into a fixed (capacity, k) buffer;
+       d. one all_gather over ``model`` moves each unique row across ICI
+          exactly once: traffic = (S-1)·capacity·k per device, vs
+          ~2·N·k for the psum path — a win of (2N / S·capacity), i.e.
+          the duplication factor times 2 when capacity tracks the true
+          per-shard unique count (Zipf-distributed CTR ids dedup well);
+       e. every original position reads its row back from the gathered
+          buffer at (owner, rank-within-owner) — a local gather computed
+          from the sort, then the inverse permutation restores input
+          order.
+
+   Gradients ride the transpose of the same collectives: the all_gather
+   transposes to a psum_scatter of the (capacity, k) cotangent buffers,
+   so the backward exchange is capacity-bounded too.
+
+   ``capacity`` is the MoE-style static bound on uniques owned per shard.
+   ``capacity = N`` is exact for any input; the default
+   ``ceil(4·N/S)`` is exact whenever hashing spreads uniques at most 4x
+   unevenly (overflowing rows — beyond-capacity uniques of one shard —
+   come back as zeros, never garbage). ``check_overflow`` returns the
+   overflow count alongside the rows for validation runs.
+
+Covered by CPU-mesh equivalence tests (tests/test_parallel.py) that
+compare both paths and their gradients against a plain local gather.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -28,11 +59,12 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 
 
 def sharded_embedding_lookup(table, ids, mesh, shard_batch=True):
-    """Gather rows ``ids`` (B,) from ``table`` (V, k) row-sharded over
-    MODEL_AXIS. V must divide the model axis (see sharding.pad_vocab_for_mesh).
+    """Masked-gather + psum exchange (the partitioner-equivalent baseline).
 
-    ``shard_batch``: ids/output sharded over DATA_AXIS (the usual DP
-    layout); False keeps them replicated.
+    ``table`` (V, k) row-sharded over MODEL_AXIS; V must divide the model
+    axis (see sharding.pad_vocab_for_mesh). ``shard_batch``: ids/output
+    sharded over DATA_AXIS (the usual DP layout); False keeps them
+    replicated.
     """
     v, k = table.shape
     n_shards = mesh.shape[MODEL_AXIS]
@@ -55,3 +87,111 @@ def sharded_embedding_lookup(table, ids, mesh, shard_batch=True):
         in_specs=(P(MODEL_AXIS, None), batch_spec),
         out_specs=batch_spec,
     )(table, ids)
+
+
+def default_capacity(n: int, n_shards: int, factor: float = 4.0) -> int:
+    """Static per-shard unique-row bound: ceil(factor * N / S), clamped to N."""
+    return min(n, -(-int(factor * n) // n_shards))
+
+
+def _dedup_exchange(table_shard, ids_local, *, rows_per, n_shards, capacity,
+                    data_sharded):
+    """Body run per (data, model) shard by shard_map. ids replicated over
+    MODEL_AXIS within the group; returns ((N, k) rows, overflow count)."""
+    n = ids_local.shape[0]
+    ids32 = ids_local.astype(jnp.int32)
+
+    # a. one sort, shared by every step below
+    sids, order = jax.lax.sort_key_val(ids32, jnp.arange(n, dtype=jnp.int32))
+
+    # b. run-length dedup in sorted order
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sids[1:] != sids[:-1]]
+    )
+    uslot = jnp.cumsum(first.astype(jnp.int32)) - 1       # sorted pos -> unique slot
+    n_unique = uslot[-1] + 1
+    # unique ids, compacted to the front of a length-N buffer
+    uids = jnp.zeros((n,), jnp.int32).at[uslot].set(sids, mode="drop")
+
+    # owner of each unique slot and its rank within that owner's uniques
+    owner = jnp.clip(uids // rows_per, 0, n_shards - 1)
+    valid = jnp.arange(n) < n_unique
+    # rank = running count of uniques per owner, computed from sorted uids
+    # (uids are sorted ascending where valid, so equal owners are contiguous)
+    owner_start = jnp.searchsorted(
+        jnp.where(valid, owner, n_shards), jnp.arange(n_shards), side="left"
+    ).astype(jnp.int32)
+    rank = jnp.arange(n, dtype=jnp.int32) - owner_start[owner]
+
+    # c. my shard gathers its owned uniques into a (capacity, k) buffer
+    my = jax.lax.axis_index(MODEL_AXIS)
+    mine = valid & (owner == my) & (rank < capacity)
+    local_row = jnp.where(mine, uids - my * rows_per, 0)
+    rows = jnp.take(table_shard, local_row, axis=0)
+    rows = rows * mine[:, None].astype(rows.dtype)
+    buf = jnp.zeros((capacity, table_shard.shape[1]), table_shard.dtype)
+    slot = jnp.where(mine, rank, capacity)               # capacity = drop
+    buf = buf.at[slot].add(rows, mode="drop")
+
+    # d. one all_gather: each unique row crosses ICI once
+    all_buf = jax.lax.all_gather(buf, MODEL_AXIS)        # (S, capacity, k)
+    all_buf = all_buf.reshape(n_shards * capacity, -1)
+
+    # e. per original position: (owner, rank) -> gathered row, then unsort
+    fetch = owner * capacity + jnp.clip(rank, 0, capacity - 1)
+    in_cap = rank < capacity
+    sorted_rows = jnp.take(all_buf, fetch[uslot], axis=0)
+    sorted_rows = sorted_rows * in_cap[uslot][:, None].astype(sorted_rows.dtype)
+    out = jnp.zeros_like(sorted_rows).at[order].set(sorted_rows)
+
+    # already the model-group total (owner/rank are computed identically on
+    # every model shard); sum the data shards for a mesh-wide number
+    overflow = jnp.sum(
+        jnp.where(valid & ~in_cap, 1, 0), dtype=jnp.int32
+    )
+    if data_sharded:
+        overflow = jax.lax.psum(overflow, DATA_AXIS)
+    return out, overflow
+
+
+def dedup_embedding_lookup(table, ids, mesh, capacity=None, shard_batch=True,
+                           check_overflow=False):
+    """Deduped all-to-all-style lookup against a row-sharded table.
+
+    ``table`` (V, k) sharded P('model'); ``ids`` (N,) int IN [0, V) —
+    mask PAD ids before calling (jnp.maximum(ids, 0), as the packed layer
+    does) — sharded P('data') when ``shard_batch`` (replicated over
+    'model' either way). Returns (N, k) rows (plus the mesh-total
+    overflow count when ``check_overflow``). Exact whenever each model
+    shard owns at most ``capacity`` of the batch's unique ids;
+    ``capacity=N`` is unconditionally exact.
+    """
+    v, k = table.shape
+    n_shards = mesh.shape[MODEL_AXIS]
+    assert v % n_shards == 0, f"vocab {v} must divide model axis {n_shards}"
+    rows_per = v // n_shards
+    data_n = mesh.shape[DATA_AXIS] if shard_batch else 1
+    n_local = ids.shape[0] // data_n
+    if capacity is None:
+        capacity = default_capacity(n_local, n_shards)
+    capacity = min(capacity, n_local)
+
+    batch_spec = P(DATA_AXIS) if shard_batch else P()
+
+    body = functools.partial(
+        _dedup_exchange, rows_per=rows_per, n_shards=n_shards,
+        capacity=capacity, data_sharded=shard_batch,
+    )
+
+    rows, overflow = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), batch_spec),
+        out_specs=(batch_spec, P()),
+        # outputs are model-replicated via the all_gather, which the
+        # static varying-axes checker can't infer
+        check_vma=False,
+    )(table, ids)
+    if check_overflow:
+        return rows, overflow
+    return rows

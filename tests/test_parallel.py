@@ -158,6 +158,95 @@ class TestShardedLookup:
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
 
 
+class TestDedupLookup:
+    """Deduped capacity-bounded all-gather exchange (parallel/shard_lookup.py)
+    vs plain take — value, gradient, overflow accounting."""
+
+    def _setup(self, mesh, V=1000, k=8, n=64, lo=0, hi=None, seed=0):
+        from recman_tpu.parallel.sharding import pad_vocab_for_mesh
+
+        rs = np.random.RandomState(seed)
+        Vp = pad_vocab_for_mesh(V, mesh.shape[MODEL_AXIS])
+        table = jnp.asarray(rs.randn(Vp, k), dtype=jnp.float32)
+        ids = jnp.asarray(rs.randint(lo, hi or V, n), dtype=jnp.int32)
+        sharded = jax.device_put(
+            table, jax.sharding.NamedSharding(mesh, P(MODEL_AXIS, None))
+        )
+        return table, sharded, ids
+
+    def test_matches_dense_lookup(self, mesh24):
+        from recman_tpu.parallel import dedup_embedding_lookup
+
+        table, sharded, ids = self._setup(mesh24)
+        out = dedup_embedding_lookup(sharded, ids, mesh24)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
+        )
+
+    def test_zipf_duplicates(self, mesh24):
+        """Heavy duplication (the case dedup exists for) stays exact."""
+        from recman_tpu.parallel import dedup_embedding_lookup
+
+        table, sharded, _ = self._setup(mesh24, V=1000)
+        rs = np.random.RandomState(7)
+        ids = jnp.asarray(
+            np.minimum(rs.zipf(1.5, 128) - 1, 999), dtype=jnp.int32
+        )
+        out, overflow = dedup_embedding_lookup(
+            sharded, ids, mesh24, check_overflow=True
+        )
+        assert int(overflow) == 0
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
+        )
+
+    def test_full_capacity_is_exact_for_skew(self, mesh24):
+        """All ids owned by ONE shard: default capacity overflows (counted),
+        capacity=N is exact."""
+        from recman_tpu.parallel import dedup_embedding_lookup
+
+        # vocab 1000 over 4 shards -> shard 0 owns [0, 250)
+        table, sharded, _ = self._setup(mesh24, V=1000)
+        ids = jnp.asarray(np.arange(64), dtype=jnp.int32)  # 64 uniques, shard 0
+        out, overflow = dedup_embedding_lookup(
+            sharded, ids, mesh24, capacity=64, shard_batch=False,
+            check_overflow=True,
+        )
+        assert int(overflow) == 0
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
+        )
+        _, overflow_small = dedup_embedding_lookup(
+            sharded, ids, mesh24, capacity=16, shard_batch=False,
+            check_overflow=True,
+        )
+        assert int(overflow_small) > 0  # 64 uniques on one shard, cap 16
+
+    def test_differentiable(self, mesh24):
+        """The all_gather transposes to a psum_scatter; grads must equal
+        the plain take grad."""
+        from recman_tpu.parallel import dedup_embedding_lookup
+
+        table, sharded, ids = self._setup(mesh24, V=96, k=4, n=16, seed=1)
+        rs = np.random.RandomState(2)
+        w = jnp.asarray(rs.randn(16, 4), dtype=jnp.float32)
+
+        g1 = jax.grad(lambda t: jnp.sum(
+            dedup_embedding_lookup(t, ids, mesh24) * w))(sharded)
+        g2 = jax.grad(lambda t: jnp.sum(jnp.take(t, ids, axis=0) * w))(table)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_replicated_batch(self, mesh24):
+        from recman_tpu.parallel import dedup_embedding_lookup
+
+        table, sharded, ids = self._setup(mesh24, n=48, seed=3)
+        out = dedup_embedding_lookup(sharded, ids, mesh24, shard_batch=False)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
+        )
+
+
 class TestTensorParallelDense:
     def test_tp_dnn_trains(self, mesh24):
         """Megatron-style alternating column/row sharding on the DNN tower
