@@ -6,6 +6,7 @@ from .criteo import (
     synthetic_criteo_arrays,
 )
 from .ml_100k import create_ml_features, get_data, get_ml_dataset
+from .native_loader import load_criteo_tsv_native
 
 __all__ = [
     "CAT_NAMES",
@@ -15,5 +16,6 @@ __all__ = [
     "get_data",
     "get_ml_dataset",
     "load_criteo_tsv",
+    "load_criteo_tsv_native",
     "synthetic_criteo_arrays",
 ]
