@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..utils import glorot_normal, glorot_uniform, l2_loss
-from ..ops.cin_interact import cin_interact
+from ..ops.cin_interact import cin_interact, cin_interact_fm, pallas_cin_active
 from .common import dropout, resolve_activation, split_rng
 
 
@@ -82,15 +82,16 @@ class CIN:
 
     def apply(self, params, inputs, training=True, rng=None):
         assert inputs.ndim == 3  # (B, F, D)
+        if pallas_cin_active(max(self.field_nums)):
+            return self._apply_field_major(params, inputs, training, rng)
+        return self._apply_batch_major(params, inputs, training, rng)
+
+    def _apply_batch_major(self, params, inputs, training, rng):
+        """XLA einsum chain in (B, D, H) embedding-position-major layout
+        (SPMD/CPU path — the partitioner shards einsums natively)."""
         B, H0, D = inputs.shape
         rngs = split_rng(rng, len(self.cross_layer_units) + 1)
 
-        # everything runs in (B, D, H) embedding-position-major layout: the
-        # fused interaction op (ops/cin_interact.py) emits (B, D, O), whose
-        # O-slice feeds the next layer with zero transposes; XLA's native
-        # formulation materialized + layout-copied the (B, X, D) z tensor
-        # (profiled ~9 ms/step at batch 8192). Semantics are unchanged
-        # (validated against the reference split/matmul/conv form).
         x0 = dropout(rngs[0], inputs, self.dropout_keep[0], training)
         x0t = jnp.transpose(x0, (0, 2, 1))  # (B, D, H0)
         xkt = x0t
@@ -125,6 +126,48 @@ class CIN:
         result = jnp.concatenate(finals, axis=2)  # (B, D, final_size)
         result = jnp.sum(result, axis=1)  # (B, final_size)
         return result @ params[f"{self.prefix}cin_w"] + params[f"{self.prefix}cin_w0"]
+
+    def _apply_field_major(self, params, inputs, training, rng):
+        """Pallas chain in (H, B*D) field-major layout: the fused kernel
+        (ops/cin_interact.py) keeps z in VMEM and emits (O, B*D), whose
+        leading slice IS the next layer's input — no transposes anywhere
+        in the whole tower, forward or backward. Semantics identical to
+        the batch-major path (tests/test_cin_interact.py)."""
+        B, H0, D = inputs.shape
+        rngs = split_rng(rng, len(self.cross_layer_units) + 1)
+
+        x0 = dropout(rngs[0], inputs, self.dropout_keep[0], training)
+        x0c = jnp.transpose(x0, (1, 0, 2)).reshape(H0, B * D)
+        xkc = x0c
+        finals = []
+
+        interact = cin_interact_fm
+        if self.remat:
+            import jax
+
+            interact = jax.checkpoint(interact)
+
+        for i, size in enumerate(self.cross_layer_units):
+            pre = (
+                interact(x0c, xkc, params[f"{self.prefix}cin_filter_{i}"])
+                + params[f"{self.prefix}cin_bias_{i}"][:, None]
+            )  # (size, B*D)
+            fmap = self.activation(pre)
+            fmap = dropout(rngs[i + 1], fmap, self.dropout_keep[i + 1], training)
+
+            if i != len(self.cross_layer_units) - 1:
+                xkc = fmap[: size // 2]
+                direct = fmap[size // 2 :]
+            else:
+                direct = fmap
+            finals.append(direct)
+
+        result = jnp.concatenate(finals, axis=0)  # (final_size, B*D)
+        result = jnp.sum(result.reshape(-1, B, D), axis=2)  # (final_size, B)
+        return (
+            jnp.einsum("fb,fo->bo", result, params[f"{self.prefix}cin_w"])
+            + params[f"{self.prefix}cin_w0"]
+        )
 
     def l2(self, params):
         """Filters + head (reference layers.py:762-777)."""

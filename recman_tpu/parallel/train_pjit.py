@@ -111,6 +111,37 @@ def make_sharded_eval_step(model, mesh):
     return jax.jit(step_fn, static_argnames=("training", "layout"))
 
 
+def make_sharded_eval_scan(model, mesh):
+    """Whole-dataset eval in one dispatch (training/train_step.py
+    make_eval_scan), with per-batch DP sharding constraints."""
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    out_sharding = NamedSharding(mesh, P())
+
+    def scan_fn(params, data, idx_mat, override, training: bool, layout=()):
+        from ..training.train_step import unpack_batch
+
+        rng = jax.random.PRNGKey(0) if training else None
+
+        def body(carry, idx):
+            batch, _ = gather_batch(data, idx)
+            if layout:
+                batch = unpack_batch(batch, layout)
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, batch_sharding)
+                for k, v in batch.items()
+            }
+            preds = model.apply(
+                params, batch, training=training, rng=rng,
+                linear_override=override,
+            )
+            return carry, jax.lax.with_sharding_constraint(preds, out_sharding)
+
+        _, preds = jax.lax.scan(body, 0, idx_mat)
+        return preds.reshape(-1)
+
+    return jax.jit(scan_fn, static_argnames=("training", "layout"))
+
+
 class ShardedTrainer(Trainer):
     """Trainer with a (data, model) mesh. batch_size must divide the data
     axis. Single-host multi-chip today; multi-host needs only
@@ -144,6 +175,7 @@ class ShardedTrainer(Trainer):
         )
         self._train_step = make_sharded_train_step(model, self.optimizer, self.mesh)
         self._eval_step = make_sharded_eval_step(model, self.mesh)
+        self._eval_scan = make_sharded_eval_scan(model, self.mesh)
         self.state = shard_init_state(
             model, self.optimizer, jax.random.PRNGKey(random_seed), self.mesh,
             row_shard_threshold, tp_dense_threshold,

@@ -153,6 +153,36 @@ def make_train_step(model, optimizer):
     return jax.jit(step_fn, donate_argnums=(0,), static_argnames=("layout",))
 
 
+def make_eval_scan(model):
+    """Whole-dataset batched forward in ONE dispatch: lax.scan of the eval
+    body over the (num_batches, batch_size) index matrix.
+
+    The per-batch host loop (reference DeepModel.py:50-57) costs one
+    dispatch round-trip per batch — ~ms each through this machine's
+    tunnel, which dominates epoch evals at small batch sizes. Returns
+    flat (num_batches*batch_size,) preds; the caller slices off the
+    padding tail.
+    """
+
+    def scan_fn(params, data, idx_mat, override, training: bool, layout=()):
+        rng = jax.random.PRNGKey(0) if training else None
+
+        def body(carry, idx):
+            batch, _ = gather_batch(data, idx)
+            if layout:
+                batch = unpack_batch(batch, layout)
+            preds = model.apply(
+                params, batch, training=training, rng=rng,
+                linear_override=override,
+            )
+            return carry, preds
+
+        _, preds = jax.lax.scan(body, 0, idx_mat)
+        return preds.reshape(-1)
+
+    return jax.jit(scan_fn, static_argnames=("training", "layout"))
+
+
 def make_eval_step(model):
     """Compiled batched forward: (params, data, idx, override) -> (B,) preds.
 

@@ -31,6 +31,7 @@ from .train_step import (
     TrainState,
     create_optimizer,
     init_state,
+    make_eval_scan,
     make_eval_step,
     make_train_step,
     pack_dataset,
@@ -85,6 +86,7 @@ class Trainer:
         )
         self._train_step = make_train_step(model, self.optimizer)
         self._eval_step = make_eval_step(model)
+        self._eval_scan = make_eval_scan(model)
         self.state: TrainState = init_state(
             model, self.optimizer, jax.random.PRNGKey(random_seed)
         )
@@ -122,22 +124,12 @@ class Trainer:
 
     def predict(self, X, training=False, batch_number_to_show_progress=50):
         """Batched forward (reference DeepModel.py:45-70). ``training=True``
-        keeps dropout live, as the reference's in-fit eval does."""
-        data, layout = self._to_device(X)
-        n = int(data["y"].shape[0])
-        idx = batch_indices(n, self.batch_size)
-        override = None if training else self._override()
+        keeps dropout live, as the reference's in-fit eval does.
 
-        outs = []
-        for i in range(idx.shape[0]):
-            preds = self._eval_step(
-                self.state.params, data, jnp.asarray(idx[i]), override, training,
-                layout,
-            )
-            outs.append(np.asarray(preds))
-            if i % batch_number_to_show_progress == 0:
-                log.debug("Predict: %d/%d batches", i + 1, idx.shape[0])
-        return np.concatenate(outs)[:n]
+        Runs as ONE lax.scan dispatch over all batches (make_eval_scan)
+        rather than the reference's per-batch host loop."""
+        data, layout = self._to_device(X)
+        return self._predict_device(data, training, layout)
 
     def evaluate(self, X, y, training=False):
         """[metric(y, pred) for metric in metrics] (reference DeepModel.py:72-74)."""
@@ -186,16 +178,11 @@ class Trainer:
         n = int(data["y"].shape[0])
         idx = batch_indices(n, self.batch_size)
         override = None if training else self._override()
-        outs = [
-            np.asarray(
-                self._eval_step(
-                    self.state.params, data, jnp.asarray(idx[i]), override,
-                    training, layout,
-                )
-            )
-            for i in range(idx.shape[0])
-        ]
-        return np.concatenate(outs)[:n]
+        preds = self._eval_scan(
+            self.state.params, data, jnp.asarray(idx), override, training,
+            layout,
+        )
+        return np.asarray(preds)[:n]
 
     def fit(
         self,
