@@ -46,6 +46,8 @@ def main(per_device_batch=4096, model_axis=1, num_buckets=100_000,
     if small:
         num_buckets = min(num_buckets, 2000)
         rows = min(rows, 8192)
+        # keep at least one full batch at the widest mesh
+        per_device_batch = min(per_device_batch, rows // n_devices)
     feat_dict = create_criteo_features(num_buckets=num_buckets)
     raw = synthetic_criteo_arrays(rows, num_buckets=num_buckets, seed=2019)
 

@@ -54,10 +54,45 @@ def shard_init_state(model, optimizer, rng, mesh, row_shard_threshold=50_000,
     )
 
 
-def make_sharded_train_step(model, optimizer, mesh):
+def make_local_gather(mesh):
+    """shard_map mini-batch gather for a ROW-SHARDED dataset.
+
+    ``data`` arrays are sharded P('data') on axis 0 (each data shard holds
+    a contiguous block of rows); ``idx`` is (D*local_bs,) sharded P('data')
+    where segment d holds LOCAL row indices into shard d (-1 = padding).
+    Every gather is shard-local — zero communication — which is what makes
+    per-host dataset feeds scale (the replicated-dataset path copies the
+    whole dataset to every device/host).
+    """
+
+    def local(data_shards: dict, idx_local):
+        weights = (idx_local >= 0).astype(jnp.float32)
+        safe = jnp.maximum(idx_local, 0)
+        batch = {k: jnp.take(v, safe, axis=0) for k, v in data_shards.items()}
+        return batch, weights
+
+    def gather(data: dict, idx):
+        in_specs = (
+            {k: P(DATA_AXIS, *([None] * (v.ndim - 1))) for k, v in data.items()},
+            P(DATA_AXIS),
+        )
+        out_specs = ({k: P(DATA_AXIS, *([None] * (v.ndim - 1)))
+                      for k, v in data.items()}, P(DATA_AXIS))
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+        )(data, idx)
+
+    return gather
+
+
+def make_sharded_train_step(model, optimizer, mesh, local_gather=False):
     """Compiled SPMD step. Batch rows are sharded over 'data' right after
-    the local gather; everything else falls out of param placement."""
+    the local gather; everything else falls out of param placement.
+
+    ``local_gather``: the dataset is row-sharded over 'data' (see
+    make_local_gather) instead of replicated."""
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    gather_local = make_local_gather(mesh) if local_gather else None
 
     def step_fn(state: TrainState, data: dict, idx, layout=()):
         from ..ops import fused_grad
@@ -66,7 +101,10 @@ def make_sharded_train_step(model, optimizer, mesh):
         with fused_grad(False):  # keep XLA's partitionable gather grad for
             # row-sharded tables (the Pallas kernel is single-shard)
             rng, dropout_rng = jax.random.split(state.rng)
-            batch, weights = gather_batch(data, idx)
+            if local_gather:
+                batch, weights = gather_local(data, idx)
+            else:
+                batch, weights = gather_batch(data, idx)
             if layout:
                 batch = unpack_batch(batch, layout)
             batch = {
@@ -111,11 +149,12 @@ def make_sharded_eval_step(model, mesh):
     return jax.jit(step_fn, static_argnames=("training", "layout"))
 
 
-def make_sharded_eval_scan(model, mesh):
+def make_sharded_eval_scan(model, mesh, local_gather=False):
     """Whole-dataset eval in one dispatch (training/train_step.py
     make_eval_scan), with per-batch DP sharding constraints."""
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
     out_sharding = NamedSharding(mesh, P())
+    gather_local = make_local_gather(mesh) if local_gather else None
 
     def scan_fn(params, data, idx_mat, override, training: bool, layout=()):
         from ..training.train_step import unpack_batch
@@ -123,7 +162,10 @@ def make_sharded_eval_scan(model, mesh):
         rng = jax.random.PRNGKey(0) if training else None
 
         def body(carry, idx):
-            batch, _ = gather_batch(data, idx)
+            if local_gather:
+                batch, _ = gather_local(data, idx)
+            else:
+                batch, _ = gather_batch(data, idx)
             if layout:
                 batch = unpack_batch(batch, layout)
             batch = {
@@ -149,13 +191,21 @@ class ShardedTrainer(Trainer):
 
     def __init__(self, model, hparams=None, metrics=(), epoch=10, batch_size=64,
                  random_seed=2019, eval_in_training_mode=False, mesh=None,
-                 row_shard_threshold=50_000, tp_dense_threshold=None):
+                 row_shard_threshold=50_000, tp_dense_threshold=None,
+                 dataset_sharded=False):
         self.mesh = mesh if mesh is not None else make_mesh()
         data_n = self.mesh.shape[DATA_AXIS]
         assert batch_size % data_n == 0, (
             f"batch_size {batch_size} must divide data axis {data_n}"
         )
         self.row_shard_threshold = row_shard_threshold
+        # dataset_sharded: rows live sharded P('data') (1/D per device) and
+        # mini-batches are per-shard local gathers + local shuffles — the
+        # memory/IO layout multi-host feeds need (each host materializes
+        # only its block). Replicated (False) matches the reference's
+        # whole-dataset-in-memory model.
+        self.dataset_sharded = dataset_sharded
+        self._data_rows = None  # set by _to_device when dataset_sharded
 
         # mirror Trainer.__init__ but with sharded state/steps
         hp = hparams or {}
@@ -173,9 +223,13 @@ class ShardedTrainer(Trainer):
             hp.get(BaseHyperParameters.Optimizer, "adam"),
             hp.get(BaseHyperParameters.LearningRate, 0.001),
         )
-        self._train_step = make_sharded_train_step(model, self.optimizer, self.mesh)
+        self._train_step = make_sharded_train_step(
+            model, self.optimizer, self.mesh, local_gather=dataset_sharded
+        )
         self._eval_step = make_sharded_eval_step(model, self.mesh)
-        self._eval_scan = make_sharded_eval_scan(model, self.mesh)
+        self._eval_scan = make_sharded_eval_scan(
+            model, self.mesh, local_gather=dataset_sharded
+        )
         self.state = shard_init_state(
             model, self.optimizer, jax.random.PRNGKey(random_seed), self.mesh,
             row_shard_threshold, tp_dense_threshold,
@@ -192,6 +246,68 @@ class ShardedTrainer(Trainer):
 
     def _to_device(self, X, y=None):
         data, layout = super()._to_device(X, y)
-        # replicate dataset arrays across the mesh
-        repl = NamedSharding(self.mesh, P())
-        return {k: jax.device_put(v, repl) for k, v in data.items()}, layout
+        if not self.dataset_sharded:
+            # replicate dataset arrays across the mesh
+            repl = NamedSharding(self.mesh, P())
+            return {k: jax.device_put(v, repl) for k, v in data.items()}, layout
+
+        # row-shard: pad rows to D*local_n so each data shard holds one
+        # contiguous block; padded tail rows are never addressed (local
+        # index matrices mark them -1)
+        d_n = self.mesh.shape[DATA_AXIS]
+        n = int(next(iter(data.values())).shape[0])
+        local_n = -(-n // d_n)
+        self._data_rows = (n, local_n)
+        out = {}
+        for k, v in data.items():
+            v = np.asarray(v)
+            if n != d_n * local_n:
+                pad = [(0, d_n * local_n - n)] + [(0, 0)] * (v.ndim - 1)
+                v = np.pad(v, pad)
+            spec = P(DATA_AXIS, *([None] * (v.ndim - 1)))
+            out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
+        return out, layout
+
+    def _batch_index_matrix(self, n: int, shuffle_seed=None) -> np.ndarray:
+        """Per-shard LOCAL index rows when dataset_sharded: batch b's row is
+        the concat over shards d of local_bs indices into shard d (-1 pad).
+        Shuffles happen independently within each shard (standard per-host
+        shuffling at scale); eval (no seed) is sequential so predictions
+        reorder deterministically (_unshard_preds)."""
+        if not self.dataset_sharded:
+            return super()._batch_index_matrix(n, shuffle_seed)
+        d_n = self.mesh.shape[DATA_AXIS]
+        local_n = -(-n // d_n)
+        local_bs = self.batch_size // d_n
+        num_batches = local_n // local_bs + 1
+        rs = (np.random.RandomState(shuffle_seed)
+              if shuffle_seed is not None else None)
+        idx = np.full((num_batches * local_bs, d_n), -1, dtype=np.int32)
+        for d in range(d_n):
+            valid = min(max(n - d * local_n, 0), local_n)
+            order = np.arange(valid, dtype=np.int32)
+            if rs is not None:
+                order = rs.permutation(valid).astype(np.int32)
+            idx[:valid, d] = order
+        # (num_batches, d_n * local_bs), shard-major within each batch
+        return (
+            idx.reshape(num_batches, local_bs, d_n)
+            .transpose(0, 2, 1)
+            .reshape(num_batches, d_n * local_bs)
+        )
+
+    def _unshard_preds(self, preds: np.ndarray, n: int) -> np.ndarray:
+        """Scan output is [batch, shard, j]-ordered when dataset_sharded;
+        map back to dataset row order (shards hold contiguous row blocks)."""
+        if not self.dataset_sharded:
+            return preds[:n]
+        d_n = self.mesh.shape[DATA_AXIS]
+        local_bs = self.batch_size // d_n
+        nb = preds.shape[0] // (d_n * local_bs)
+        per_shard = (
+            preds.reshape(nb, d_n, local_bs)
+            .transpose(1, 0, 2)
+            .reshape(d_n, nb * local_bs)
+        )
+        local_n = -(-n // d_n)
+        return per_shard[:, :local_n].reshape(-1)[:n]

@@ -128,8 +128,9 @@ class Trainer:
 
         Runs as ONE lax.scan dispatch over all batches (make_eval_scan)
         rather than the reference's per-batch host loop."""
+        n = len(next(iter(X.values()))) if isinstance(X, dict) else len(X)
         data, layout = self._to_device(X)
-        return self._predict_device(data, training, layout)
+        return self._predict_device(data, training, layout, n=n)
 
     def evaluate(self, X, y, training=False):
         """[metric(y, pred) for metric in metrics] (reference DeepModel.py:72-74)."""
@@ -153,7 +154,9 @@ class Trainer:
                        epoch, layout=()):
         """Per-epoch train/valid metric log (reference DeepModel.py:92-131)."""
         training = self.eval_in_training_mode
-        train_pred = self._predict_device(data_train, training, layout)
+        train_pred = self._predict_device(
+            data_train, training, layout, n=len(y_train)
+        )
         train_res = [m(y_train, train_pred) for m in self.metrics]
         valid_res = None
         if X_valid is not None and y_valid is not None:
@@ -174,15 +177,28 @@ class Trainer:
             )
         return train_res, valid_res
 
-    def _predict_device(self, data: dict, training: bool, layout=()) -> np.ndarray:
-        n = int(data["y"].shape[0])
-        idx = batch_indices(n, self.batch_size)
+    def _batch_index_matrix(self, n: int, shuffle_seed=None) -> np.ndarray:
+        """Per-epoch index matrix; overridden by sharded-dataset trainers
+        to produce per-shard local indices."""
+        return batch_indices(n, self.batch_size, shuffle_seed=shuffle_seed)
+
+    def _predict_device(self, data: dict, training: bool, layout=(),
+                        n=None) -> np.ndarray:
+        """``n``: logical row count — required by callers of sharded-dataset
+        trainers, whose device arrays carry padded rows."""
+        n = int(data["y"].shape[0]) if n is None else n
+        idx = self._batch_index_matrix(n)
         override = None if training else self._override()
         preds = self._eval_scan(
             self.state.params, data, jnp.asarray(idx), override, training,
             layout,
         )
-        return np.asarray(preds)[:n]
+        return self._unshard_preds(np.asarray(preds), n)
+
+    def _unshard_preds(self, preds: np.ndarray, n: int) -> np.ndarray:
+        """Map flat scan output back to dataset row order (identity here;
+        sharded-dataset trainers reorder shard-major output)."""
+        return preds[:n]
 
     def fit(
         self,
@@ -227,7 +243,7 @@ class Trainer:
                 seed = np.random.randint(1, 2019)  # DeepModel.py:183
             else:
                 seed = self.random_seed
-            idx = batch_indices(n, self.batch_size, shuffle_seed=seed)
+            idx = self._batch_index_matrix(n, shuffle_seed=seed)
 
             losses = []
             for i in range(idx.shape[0]):

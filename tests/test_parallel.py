@@ -158,6 +158,61 @@ class TestShardedLookup:
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
 
 
+class TestShardedDataset:
+    """dataset_sharded=True: rows live P('data') with shard-local gathers
+    (parallel/train_pjit.py make_local_gather)."""
+
+    def _trainers(self, mesh, n=300, buckets=500):
+        from recman_tpu.models import DeepFM
+
+        fs = create_criteo_features(num_buckets=buckets)
+        data = synthetic_criteo_arrays(n, num_buckets=buckets, seed=5)
+        kw = dict(
+            hparams={"learning_rate": 0.01, "optimizer": "adam"},
+            metrics=(LogLoss(),), epoch=1, batch_size=64, random_seed=2019,
+            mesh=mesh,
+        )
+        model = DeepFM(fs, {"embedding_size": 4, "deep_hidden_units": (8,),
+                            "deep_dropout": (1.0, 1.0)})
+        repl = ShardedTrainer(model, **kw)
+        shrd = ShardedTrainer(model, dataset_sharded=True, **kw)
+        return repl, shrd, data
+
+    def test_predict_row_order_matches_replicated(self, mesh24):
+        """Same init params -> identical predictions in dataset row order
+        (exercises padding, local sequential gathers, and _unshard_preds),
+        including a row count that doesn't divide the data axis."""
+        repl, shrd, data = self._trainers(mesh24, n=301)
+        p1 = repl.predict(data)
+        p2 = shrd.predict(data)
+        assert p2.shape == (301,)
+        np.testing.assert_allclose(p1, p2, rtol=1e-5, atol=1e-6)
+
+    def test_trains_and_improves(self, mesh81):
+        repl, shrd, data = self._trainers(mesh81, n=512)
+        y = data["y"]
+        before = shrd.evaluate(data, y)[0]
+        shrd.fit(data, y, random_seed_for_mini_batch=False)
+        assert shrd.evaluate(data, y)[0] < before
+
+    def test_local_index_matrix_covers_every_row_once(self, mesh24):
+        _, shrd, _ = self._trainers(mesh24)
+        n = 301
+        idx = shrd._batch_index_matrix(n, shuffle_seed=7)
+        d_n = shrd.mesh.shape[DATA_AXIS]
+        local_bs = shrd.batch_size // d_n
+        local_n = -(-n // d_n)
+        # reassemble global row ids: shard d, local i -> d*local_n + i
+        got = []
+        for b in range(idx.shape[0]):
+            row = idx[b].reshape(d_n, local_bs)
+            for d in range(d_n):
+                for v in row[d]:
+                    if v >= 0:
+                        got.append(d * local_n + v)
+        assert sorted(got) == list(range(n))
+
+
 class TestDedupLookup:
     """Deduped capacity-bounded all-gather exchange (parallel/shard_lookup.py)
     vs plain take — value, gradient, overflow accounting."""
