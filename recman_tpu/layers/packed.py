@@ -71,12 +71,21 @@ class PackedEmbeddingLinear:
         use_bias = emb.use_bias
         w = self._linear_w(params, training, override)
 
+        from ..ops.embedding import _dedup_ctx
+
+        # under the dedup all-to-all exchange, packed [table|bias|w]
+        # temporaries would break the even row sharding the exchange
+        # needs; run the towers unpacked so each (padded) table routes
+        # through the exchange directly
+        packable = [] if _dedup_ctx() is not None else self.packable
+        packable_names = {f.name for f in packable}
+
         embeds_by_name, bias_by_name = {}, {}
         linear_logit = params[f"{lin.prefix}linear_w0"]
 
         # phase 1: build each feature's packed [table|bias|w] matrix and ids
         packed_mats, ids_mats = [], []
-        for feat in self.packable:
+        for feat in packable:
             # tables may carry mesh-divisibility tail padding
             # (parallel/sharding.py); slice back to the logical vocab so
             # all packed columns agree
@@ -99,7 +108,7 @@ class PackedEmbeddingLinear:
         rows_list = embedding_lookup_grouped(packed_mats, ids_mats)
 
         # phase 3: per-type postprocessing
-        for feat, rows in zip(self.packable, rows_list):
+        for feat, rows in zip(packable, rows_list):
             if isinstance(feat, SparseValueFeat):
                 rows = rows * batch[feat.value_key][:, None]
                 embeds_by_name[feat.name] = rows[:, None, :k]
@@ -132,7 +141,7 @@ class PackedEmbeddingLinear:
         # feats outside the linear selector)
         embeds, biases = [], []
         for feat in emb.feats:
-            if feat.name in self._packable_names:
+            if feat.name in packable_names:
                 e = embeds_by_name[feat.name]
                 b = bias_by_name.get(feat.name)
             else:
@@ -151,7 +160,7 @@ class PackedEmbeddingLinear:
             off = lin.offsets[feat.name]
             if isinstance(feat, DenseFeat):
                 linear_logit = linear_logit + (w[off] * batch[feat.name])[:, None]
-            elif feat.name not in self._packable_names:
+            elif feat.name not in packable_names:
                 w_f = w[off : off + feat.feat_size][:, None]
                 if isinstance(feat, SparseValueFeat):
                     linear_logit = linear_logit + (

@@ -66,6 +66,26 @@ def _fused_active() -> bool:
     return jax.default_backend() == "tpu"
 
 
+@contextlib.contextmanager
+def dedup_exchange(mesh, capacity=None, threshold=50_000):
+    """Route lookups against large row-sharded tables through the deduped
+    capacity-bounded all-to-all exchange (parallel/shard_lookup.py) while
+    tracing. Tables below ``threshold`` rows, or whose row count doesn't
+    divide the mesh's model axis, keep the partitioner's masked-gather +
+    all-reduce. ShardedTrainer(embedding_exchange="dedup") installs this
+    around its train/eval tracing."""
+    prev = getattr(_state, "dedup", None)
+    _state.dedup = (mesh, capacity, threshold)
+    try:
+        yield
+    finally:
+        _state.dedup = prev
+
+
+def _dedup_ctx():
+    return getattr(_state, "dedup", None)
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
@@ -188,10 +208,21 @@ def embedding_lookup(table, ids):
     """Gather rows ``ids`` (any shape) from ``table`` (V, k).
 
     Uses the Pallas scatter-free backward when active (TPU, unsharded
-    tables); otherwise plain jnp.take whose gather grad the XLA SPMD
-    partitioner knows how to shard.
+    tables); the explicit deduped all-to-all under a dedup_exchange
+    context (SPMD, large row-sharded tables); otherwise plain jnp.take
+    whose gather grad the XLA SPMD partitioner knows how to shard.
     """
     flat = ids.reshape(-1)
+    ctx = _dedup_ctx()
+    if ctx is not None:
+        mesh, capacity, threshold = ctx
+        from ..parallel.mesh import MODEL_AXIS
+        from ..parallel.shard_lookup import dedup_embedding_lookup
+
+        rows_n = table.shape[0]
+        if rows_n >= threshold and rows_n % mesh.shape[MODEL_AXIS] == 0:
+            rows = dedup_embedding_lookup(table, flat, mesh, capacity=capacity)
+            return rows.reshape(*ids.shape, table.shape[1])
     if _fused_active():
         rows = _lookup(table, flat)
     else:

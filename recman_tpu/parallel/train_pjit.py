@@ -85,21 +85,33 @@ def make_local_gather(mesh):
     return gather
 
 
-def make_sharded_train_step(model, optimizer, mesh, local_gather=False):
+def make_sharded_train_step(model, optimizer, mesh, local_gather=False,
+                            embedding_exchange="psum",
+                            row_shard_threshold=50_000):
     """Compiled SPMD step. Batch rows are sharded over 'data' right after
     the local gather; everything else falls out of param placement.
 
     ``local_gather``: the dataset is row-sharded over 'data' (see
-    make_local_gather) instead of replicated."""
+    make_local_gather) instead of replicated.
+    ``embedding_exchange``: "psum" leaves sharded-table lookups to the XLA
+    partitioner (masked gather + all-reduce); "dedup" routes them through
+    the explicit deduped all-to-all (ops.embedding.dedup_exchange)."""
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
     gather_local = make_local_gather(mesh) if local_gather else None
 
     def step_fn(state: TrainState, data: dict, idx, layout=()):
+        import contextlib
+
         from ..ops import fused_grad
+        from ..ops.embedding import dedup_exchange
         from ..training.train_step import unpack_batch
 
-        with fused_grad(False):  # keep XLA's partitionable gather grad for
-            # row-sharded tables (the Pallas kernel is single-shard)
+        exchange = (
+            dedup_exchange(mesh, threshold=row_shard_threshold)
+            if embedding_exchange == "dedup" else contextlib.nullcontext()
+        )
+        with fused_grad(False), exchange:  # keep XLA's partitionable gather
+            # grad for row-sharded tables (the Pallas kernel is single-shard)
             rng, dropout_rng = jax.random.split(state.rng)
             if local_gather:
                 batch, weights = gather_local(data, idx)
@@ -149,7 +161,9 @@ def make_sharded_eval_step(model, mesh):
     return jax.jit(step_fn, static_argnames=("training", "layout"))
 
 
-def make_sharded_eval_scan(model, mesh, local_gather=False):
+def make_sharded_eval_scan(model, mesh, local_gather=False,
+                           embedding_exchange="psum",
+                           row_shard_threshold=50_000):
     """Whole-dataset eval in one dispatch (training/train_step.py
     make_eval_scan), with per-batch DP sharding constraints."""
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
@@ -157,8 +171,15 @@ def make_sharded_eval_scan(model, mesh, local_gather=False):
     gather_local = make_local_gather(mesh) if local_gather else None
 
     def scan_fn(params, data, idx_mat, override, training: bool, layout=()):
+        import contextlib
+
+        from ..ops.embedding import dedup_exchange
         from ..training.train_step import unpack_batch
 
+        exchange = (
+            dedup_exchange(mesh, threshold=row_shard_threshold)
+            if embedding_exchange == "dedup" else contextlib.nullcontext()
+        )
         rng = jax.random.PRNGKey(0) if training else None
 
         def body(carry, idx):
@@ -178,7 +199,8 @@ def make_sharded_eval_scan(model, mesh, local_gather=False):
             )
             return carry, jax.lax.with_sharding_constraint(preds, out_sharding)
 
-        _, preds = jax.lax.scan(body, 0, idx_mat)
+        with exchange:
+            _, preds = jax.lax.scan(body, 0, idx_mat)
         return preds.reshape(-1)
 
     return jax.jit(scan_fn, static_argnames=("training", "layout"))
@@ -192,7 +214,7 @@ class ShardedTrainer(Trainer):
     def __init__(self, model, hparams=None, metrics=(), epoch=10, batch_size=64,
                  random_seed=2019, eval_in_training_mode=False, mesh=None,
                  row_shard_threshold=50_000, tp_dense_threshold=None,
-                 dataset_sharded=False):
+                 dataset_sharded=False, embedding_exchange="psum"):
         self.mesh = mesh if mesh is not None else make_mesh()
         data_n = self.mesh.shape[DATA_AXIS]
         assert batch_size % data_n == 0, (
@@ -223,12 +245,17 @@ class ShardedTrainer(Trainer):
             hp.get(BaseHyperParameters.Optimizer, "adam"),
             hp.get(BaseHyperParameters.LearningRate, 0.001),
         )
+        self.embedding_exchange = embedding_exchange
         self._train_step = make_sharded_train_step(
-            model, self.optimizer, self.mesh, local_gather=dataset_sharded
+            model, self.optimizer, self.mesh, local_gather=dataset_sharded,
+            embedding_exchange=embedding_exchange,
+            row_shard_threshold=row_shard_threshold,
         )
         self._eval_step = make_sharded_eval_step(model, self.mesh)
         self._eval_scan = make_sharded_eval_scan(
-            model, self.mesh, local_gather=dataset_sharded
+            model, self.mesh, local_gather=dataset_sharded,
+            embedding_exchange=embedding_exchange,
+            row_shard_threshold=row_shard_threshold,
         )
         self.state = shard_init_state(
             model, self.optimizer, jax.random.PRNGKey(random_seed), self.mesh,

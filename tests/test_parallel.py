@@ -301,6 +301,36 @@ class TestDedupLookup:
             np.asarray(out), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
         )
 
+    def test_trainer_dedup_exchange_matches_psum(self, mesh24):
+        """ShardedTrainer(embedding_exchange='dedup') trains the same model
+        to the same losses as the partitioner (psum) path."""
+        from recman_tpu.models import XDeepFM
+
+        fs, data = _criteo_setup(num_buckets=2048, n=256)  # 2049 % 4 != 0 ->
+        # placement pads to 2052; the exchange sees evenly sharded tables
+        y = data["y"]
+        kw = dict(
+            hparams={"learning_rate": 0.01, "optimizer": "adam"},
+            metrics=(LogLoss(),), epoch=1, batch_size=64, random_seed=2019,
+            mesh=mesh24, row_shard_threshold=1000,
+        )
+        model = XDeepFM(fs, {"embedding_size": 4,
+                             "cin_cross_layer_units": (4, 4),
+                             "cin_dropout": (1, 1, 1),
+                             "deep_hidden_units": (8,),
+                             "deep_dropout": (1.0, 1.0)})
+        t_psum = ShardedTrainer(model, embedding_exchange="psum", **kw)
+        t_dedup = ShardedTrainer(model, embedding_exchange="dedup", **kw)
+        p0 = t_psum.predict(data)
+        p1 = t_dedup.predict(data)
+        np.testing.assert_allclose(p0, p1, rtol=1e-5, atol=1e-6)
+        t_psum.fit(data, y, random_seed_for_mini_batch=False)
+        t_dedup.fit(data, y, random_seed_for_mini_batch=False)
+        np.testing.assert_allclose(
+            t_psum.evaluate(data, y)[0], t_dedup.evaluate(data, y)[0],
+            rtol=1e-3,
+        )
+
 
 class TestTensorParallelDense:
     def test_tp_dnn_trains(self, mesh24):
