@@ -66,6 +66,10 @@ def main():
     idx_mat = idx_mat[(idx_mat >= 0).all(axis=1)]  # full batches only
     idx = [jnp.asarray(row) for row in idx_mat]
 
+    # per-step dispatch, async-pipelined — measured FASTER than a
+    # lax.scan-of-steps epoch (273k vs 535k ex/s: XLA copies the ~550 MB
+    # params+opt-state carry per scan iteration instead of aliasing it;
+    # NOTES.md dead ends)
     for i in range(WARMUP_STEPS):
         state, loss = step(state, data, idx[i % len(idx)], layout)
     float(loss)  # device->host transfer: a real sync (block_until_ready is

@@ -138,6 +138,59 @@ def make_sharded_train_step(model, optimizer, mesh, local_gather=False,
     return jax.jit(step_fn, donate_argnums=(0,), static_argnames=("layout",))
 
 
+def make_sharded_train_epoch(model, optimizer, mesh, local_gather=False,
+                             embedding_exchange="psum",
+                             row_shard_threshold=50_000):
+    """A whole epoch of sharded train steps as one lax.scan dispatch
+    (see training/train_step.py make_train_epoch)."""
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    gather_local = make_local_gather(mesh) if local_gather else None
+
+    def epoch_fn(state: TrainState, data: dict, idx_mat, layout=()):
+        import contextlib
+
+        from ..ops import fused_grad
+        from ..ops.embedding import dedup_exchange
+        from ..training.train_step import unpack_batch
+
+        exchange = (
+            dedup_exchange(mesh, threshold=row_shard_threshold)
+            if embedding_exchange == "dedup" else contextlib.nullcontext()
+        )
+
+        def body(state, idx):
+            rng, dropout_rng = jax.random.split(state.rng)
+            if local_gather:
+                batch, weights = gather_local(data, idx)
+            else:
+                batch, weights = gather_batch(data, idx)
+            if layout:
+                batch = unpack_batch(batch, layout)
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, batch_sharding)
+                for k, v in batch.items()
+            }
+            weights = jax.lax.with_sharding_constraint(weights, batch_sharding)
+
+            def loss_fn(params):
+                return model.loss(
+                    params, batch, training=True, rng=dropout_rng,
+                    weights=weights,
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1, rng), loss
+
+        with fused_grad(False), exchange:
+            return jax.lax.scan(body, state, idx_mat)
+
+    return jax.jit(epoch_fn, donate_argnums=(0,), static_argnames=("layout",))
+
+
 def make_sharded_eval_step(model, mesh):
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
     out_sharding = NamedSharding(mesh, P())
@@ -238,6 +291,8 @@ class ShardedTrainer(Trainer):
         self.batch_size = batch_size
         self.random_seed = random_seed
         self.eval_in_training_mode = eval_in_training_mode
+        self.epoch_in_one_dispatch = False  # see Trainer.fit: scan carry
+        # copies make it slower on TPU; opt in by setting the attribute
 
         from ..config import BaseHyperParameters
 
@@ -247,6 +302,11 @@ class ShardedTrainer(Trainer):
         )
         self.embedding_exchange = embedding_exchange
         self._train_step = make_sharded_train_step(
+            model, self.optimizer, self.mesh, local_gather=dataset_sharded,
+            embedding_exchange=embedding_exchange,
+            row_shard_threshold=row_shard_threshold,
+        )
+        self._train_epoch = make_sharded_train_epoch(
             model, self.optimizer, self.mesh, local_gather=dataset_sharded,
             embedding_exchange=embedding_exchange,
             row_shard_threshold=row_shard_threshold,

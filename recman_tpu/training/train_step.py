@@ -153,6 +153,42 @@ def make_train_step(model, optimizer):
     return jax.jit(step_fn, donate_argnums=(0,), static_argnames=("layout",))
 
 
+def make_train_epoch(model, optimizer):
+    """A whole epoch of train steps as ONE lax.scan dispatch.
+
+    Per-step dispatch costs ~1 ms through this machine's tunnel (measured:
+    14.2 ms device-busy vs ~15.3 ms wall per step on the bench config);
+    scanning the step over the epoch's (num_batches, batch_size) index
+    matrix removes it. Returns (state, per-step losses). The per-step
+    path (make_train_step) remains for loops that hook TensorBoard traces
+    between batches.
+    """
+
+    def epoch_fn(state: TrainState, data: dict, idx_mat, layout=()):
+        def body(state, idx):
+            rng, dropout_rng = jax.random.split(state.rng)
+            batch, weights = gather_batch(data, idx)
+            if layout:
+                batch = unpack_batch(batch, layout)
+
+            def loss_fn(params):
+                return model.loss(
+                    params, batch, training=True, rng=dropout_rng,
+                    weights=weights,
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1, rng), loss
+
+        return jax.lax.scan(body, state, idx_mat)
+
+    return jax.jit(epoch_fn, donate_argnums=(0,), static_argnames=("layout",))
+
+
 def make_eval_scan(model):
     """Whole-dataset batched forward in ONE dispatch: lax.scan of the eval
     body over the (num_batches, batch_size) index matrix.

@@ -33,6 +33,7 @@ from .train_step import (
     init_state,
     make_eval_scan,
     make_eval_step,
+    make_train_epoch,
     make_train_step,
     pack_dataset,
 )
@@ -70,6 +71,7 @@ class Trainer:
         batch_size=64,
         random_seed=2019,
         eval_in_training_mode=False,
+        epoch_in_one_dispatch=False,
     ):
         hp = hparams or {}
         self.model = model
@@ -79,12 +81,14 @@ class Trainer:
         self.batch_size = batch_size
         self.random_seed = random_seed
         self.eval_in_training_mode = eval_in_training_mode
+        self.epoch_in_one_dispatch = epoch_in_one_dispatch
 
         self.optimizer = create_optimizer(
             hp.get(BaseHyperParameters.Optimizer, "adam"),
             hp.get(BaseHyperParameters.LearningRate, 0.001),
         )
         self._train_step = make_train_step(model, self.optimizer)
+        self._train_epoch = make_train_epoch(model, self.optimizer)
         self._eval_step = make_eval_step(model)
         self._eval_scan = make_eval_scan(model)
         self.state: TrainState = init_state(
@@ -245,18 +249,31 @@ class Trainer:
                 seed = self.random_seed
             idx = self._batch_index_matrix(n, shuffle_seed=seed)
 
-            losses = []
-            for i in range(idx.shape[0]):
-                if tb_logger is not None and i % batch_number_to_show_progress == 0:
-                    tb_logger.trace_on(epoch)
-                losses.append(self.fit_on_batch(data, idx[i], layout))
-                if tb_logger is not None and i % batch_number_to_show_progress == 0:
-                    tb_logger.trace_off(epoch)
-                if i % batch_number_to_show_progress == 0:
-                    log.debug("Fit: %d/%d batches", i + 1, idx.shape[0])
+            if tb_logger is None and self.epoch_in_one_dispatch:
+                # whole epoch in one dispatch (make_train_epoch). NOT the
+                # default: on TPU, XLA copies the params+opt-state scan
+                # carry per iteration instead of aliasing (measured 2x
+                # slower than the pipelined per-step loop — NOTES.md);
+                # useful where dispatch, not compute, dominates (tiny
+                # models, high-latency links)
+                self.state, losses = self._train_epoch(
+                    self.state, data, jnp.asarray(idx), layout
+                )
+                mean_loss = float(jnp.mean(losses))
+            else:
+                losses = []
+                for i in range(idx.shape[0]):
+                    if tb_logger is not None and i % batch_number_to_show_progress == 0:
+                        tb_logger.trace_on(epoch)
+                    losses.append(self.fit_on_batch(data, idx[i], layout))
+                    if tb_logger is not None and i % batch_number_to_show_progress == 0:
+                        tb_logger.trace_off(epoch)
+                    if i % batch_number_to_show_progress == 0:
+                        log.debug("Fit: %d/%d batches", i + 1, idx.shape[0])
+                mean_loss = float(np.mean([float(l) for l in losses]))
             log.info(
                 "Fit epoch %d: %d batches, mean loss %.5f",
-                epoch, idx.shape[0], float(np.mean([float(l) for l in losses])),
+                epoch, idx.shape[0], mean_loss,
             )
 
             eval_results = self._eval_at_epoch(

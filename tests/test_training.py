@@ -102,6 +102,29 @@ class TestEndToEnd:
         assert after[0] < before[0], f"logloss did not improve: {before} -> {after}"
         assert after[1] > 0.5
 
+    def test_epoch_scan_matches_per_step_loop(self, synthetic_df,
+                                              synthetic_features):
+        """fit with epoch_in_one_dispatch=True (one lax.scan per epoch)
+        produces the same parameters as the per-step loop: identical rng
+        chain, batch order, and update math."""
+        df = synthetic_df
+        y = df["LABEL"].values
+        hp = {BaseHyperParameters.LearningRate: 0.01}
+        model = XDeepFM(synthetic_features, xDeepFMHyperParams().defaults())
+        t_loop = Trainer(model, hp, metrics=(LogLoss(),), epoch=2,
+                         batch_size=8, random_seed=2019)
+        t_scan = Trainer(model, hp, metrics=(LogLoss(),), epoch=2,
+                         batch_size=8, random_seed=2019,
+                         epoch_in_one_dispatch=True)
+        t_loop.fit(df, y, random_seed_for_mini_batch=False)
+        t_scan.fit(df, y, random_seed_for_mini_batch=False)
+        for name in t_loop.state.params:
+            np.testing.assert_allclose(
+                np.asarray(t_loop.state.params[name]),
+                np.asarray(t_scan.state.params[name]),
+                rtol=1e-5, atol=1e-6, err_msg=name,
+            )
+
     def test_weight_override_reranks(self, synthetic_df, synthetic_features):
         """The reference's signature behavioral check (xDeepFM_test.py:118-129):
         penalizing a category downranks its rows at inference only."""
