@@ -67,7 +67,7 @@ def main():
     idx = [jnp.asarray(row) for row in idx_mat]
 
     # per-step dispatch, async-pipelined — measured FASTER than a
-    # lax.scan-of-steps epoch (273k vs 535k ex/s: XLA copies the ~550 MB
+    # lax.scan-of-steps epoch (535k vs 273k ex/s: XLA copies the ~550 MB
     # params+opt-state carry per scan iteration instead of aliasing it;
     # NOTES.md dead ends)
     for i in range(WARMUP_STEPS):

@@ -36,6 +36,11 @@
 #include <thread>
 #include <vector>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 namespace {
 
 constexpr int kNumDense = 13;
@@ -156,17 +161,41 @@ void parse_span(const Span& span, int64_t max_row, uint64_t buckets,
   }
 }
 
-char* read_file(const char* path, size_t* out_len) {
-  FILE* fp = std::fopen(path, "rb");
-  if (!fp) return nullptr;
-  std::fseek(fp, 0, SEEK_END);
-  long len = std::ftell(fp);
-  std::fseek(fp, 0, SEEK_SET);
-  char* buf = static_cast<char*>(std::malloc(len > 0 ? len : 1));
-  size_t got = std::fread(buf, 1, len, fp);
-  std::fclose(fp);
-  *out_len = got;
-  return buf;
+// mmap the file read-only: no user-space copy, no whole-file RSS (pages
+// stream through the page cache and count+parse share them), and a clean
+// failure path — unlike a malloc+fread of a 45 GB day file.
+struct MappedFile {
+  const char* data = nullptr;
+  size_t len = 0;
+  bool ok = false;
+};
+
+MappedFile map_file(const char* path) {
+  MappedFile mf;
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return mf;
+  struct stat st;
+  if (::fstat(fd, &st) != 0 || st.st_size < 0) {
+    ::close(fd);
+    return mf;
+  }
+  mf.len = static_cast<size_t>(st.st_size);
+  mf.ok = true;
+  if (mf.len > 0) {
+    void* p = ::mmap(nullptr, mf.len, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (p == MAP_FAILED) {
+      mf.ok = false;
+    } else {
+      ::madvise(p, mf.len, MADV_SEQUENTIAL);
+      mf.data = static_cast<const char*>(p);
+    }
+  }
+  ::close(fd);
+  return mf;
+}
+
+void unmap_file(const MappedFile& mf) {
+  if (mf.data) ::munmap(const_cast<char*>(mf.data), mf.len);
 }
 
 int64_t count_rows_buf(const char* buf, size_t len) {
@@ -188,11 +217,10 @@ int64_t count_rows_buf(const char* buf, size_t len) {
 extern "C" {
 
 int64_t criteo_count_rows(const char* path, int64_t max_rows) {
-  size_t len = 0;
-  char* buf = read_file(path, &len);
-  if (!buf) return -1;
-  int64_t rows = count_rows_buf(buf, len);
-  std::free(buf);
+  MappedFile mf = map_file(path);
+  if (!mf.ok) return -1;
+  int64_t rows = mf.len ? count_rows_buf(mf.data, mf.len) : 0;
+  unmap_file(mf);
   if (max_rows >= 0 && rows > max_rows) rows = max_rows;
   return rows;
 }
@@ -200,9 +228,10 @@ int64_t criteo_count_rows(const char* path, int64_t max_rows) {
 int64_t criteo_parse(const char* path, int64_t n_rows, int64_t num_buckets,
                      int32_t n_threads, float* y, float* dense,
                      int32_t* cats) {
-  size_t len = 0;
-  char* buf = read_file(path, &len);
-  if (!buf) return -1;
+  MappedFile mf = map_file(path);
+  if (!mf.ok) return -1;
+  const char* buf = mf.data;
+  const size_t len = mf.len;
 
   // split at newline boundaries into ~equal byte spans, tracking the
   // starting row index of each span with a serial newline count
@@ -232,7 +261,7 @@ int64_t criteo_parse(const char* path, int64_t n_rows, int64_t num_buckets,
                          static_cast<uint64_t>(num_buckets), y, dense, cats);
   }
   for (auto& w : workers) w.join();
-  std::free(buf);
+  unmap_file(mf);
   return row0 < n_rows ? row0 : n_rows;
 }
 

@@ -44,14 +44,22 @@ def _build() -> str:
     out = os.path.join("/tmp", f"libcriteo_parser_{tag}.so")
     if os.path.exists(out):
         return out
+    # compile to a private temp name and rename atomically: concurrent
+    # processes (parallel pytest workers, multiple trainers) must never
+    # CDLL a half-written .so, and a killed build must not leave a
+    # truncated file behind the exists() check
+    tmp = f"{out}.build-{os.getpid()}"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-        "-o", out, _SRC,
+        "-o", tmp, _SRC,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        os.replace(tmp, out)
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
         detail = getattr(e, "stderr", str(e))
+        if os.path.exists(tmp):
+            os.unlink(tmp)
         raise NativeBuildError(f"native parser build failed: {detail}") from e
     return out
 

@@ -82,7 +82,11 @@ class CIN:
 
     def apply(self, params, inputs, training=True, rng=None):
         assert inputs.ndim == 3  # (B, F, D)
-        if pallas_cin_active(max(self.field_nums)):
+        # the Pallas chain is bf16-multiplicand by construction; an
+        # explicit compute_dtype opt-out (f32 studies) keeps the einsum
+        if self.compute_dtype == jnp.bfloat16 and pallas_cin_active(
+            max(self.field_nums)
+        ):
             return self._apply_field_major(params, inputs, training, rng)
         return self._apply_batch_major(params, inputs, training, rng)
 

@@ -319,9 +319,11 @@ def pallas_cin_active(hk: int) -> bool:
     mode = getattr(_cin_state, "mode", "auto")
     if mode == "off" or not _fused_active():
         return False
+    if hk > 128:  # beyond the sublane-pack widths; einsum fallback even
+        return False  # when forced on
     if mode == "on":
         return True
-    return jax.default_backend() == "tpu" and hk <= 128
+    return jax.default_backend() == "tpu"
 
 
 def cin_interact_fm(x0c, xkc, w):

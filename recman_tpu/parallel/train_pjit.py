@@ -87,7 +87,8 @@ def make_local_gather(mesh):
 
 def make_sharded_train_step(model, optimizer, mesh, local_gather=False,
                             embedding_exchange="psum",
-                            row_shard_threshold=50_000):
+                            row_shard_threshold=50_000,
+                            dedup_capacity=None):
     """Compiled SPMD step. Batch rows are sharded over 'data' right after
     the local gather; everything else falls out of param placement.
 
@@ -107,7 +108,8 @@ def make_sharded_train_step(model, optimizer, mesh, local_gather=False,
         from ..training.train_step import unpack_batch
 
         exchange = (
-            dedup_exchange(mesh, threshold=row_shard_threshold)
+            dedup_exchange(mesh, capacity=dedup_capacity,
+                           threshold=row_shard_threshold)
             if embedding_exchange == "dedup" else contextlib.nullcontext()
         )
         with fused_grad(False), exchange:  # keep XLA's partitionable gather
@@ -140,7 +142,8 @@ def make_sharded_train_step(model, optimizer, mesh, local_gather=False,
 
 def make_sharded_train_epoch(model, optimizer, mesh, local_gather=False,
                              embedding_exchange="psum",
-                             row_shard_threshold=50_000):
+                             row_shard_threshold=50_000,
+                             dedup_capacity=None):
     """A whole epoch of sharded train steps as one lax.scan dispatch
     (see training/train_step.py make_train_epoch)."""
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
@@ -154,7 +157,8 @@ def make_sharded_train_epoch(model, optimizer, mesh, local_gather=False,
         from ..training.train_step import unpack_batch
 
         exchange = (
-            dedup_exchange(mesh, threshold=row_shard_threshold)
+            dedup_exchange(mesh, capacity=dedup_capacity,
+                           threshold=row_shard_threshold)
             if embedding_exchange == "dedup" else contextlib.nullcontext()
         )
 
@@ -196,27 +200,32 @@ def make_sharded_eval_step(model, mesh):
     out_sharding = NamedSharding(mesh, P())
 
     def step_fn(params, data, idx, override, training: bool, layout=()):
+        from ..ops import fused_grad
         from ..training.train_step import unpack_batch
 
-        batch, _ = gather_batch(data, idx)
-        if layout:
-            batch = unpack_batch(batch, layout)
-        batch = {
-            k: jax.lax.with_sharding_constraint(v, batch_sharding)
-            for k, v in batch.items()
-        }
-        rng = jax.random.PRNGKey(0) if training else None
-        preds = model.apply(
-            params, batch, training=training, rng=rng, linear_override=override
-        )
-        return jax.lax.with_sharding_constraint(preds, out_sharding)
+        with fused_grad(False):  # single-shard fused ops (Pallas CIN,
+            # fused lookups) must not trace into partitioned eval
+            batch, _ = gather_batch(data, idx)
+            if layout:
+                batch = unpack_batch(batch, layout)
+            batch = {
+                k: jax.lax.with_sharding_constraint(v, batch_sharding)
+                for k, v in batch.items()
+            }
+            rng = jax.random.PRNGKey(0) if training else None
+            preds = model.apply(
+                params, batch, training=training, rng=rng,
+                linear_override=override
+            )
+            return jax.lax.with_sharding_constraint(preds, out_sharding)
 
     return jax.jit(step_fn, static_argnames=("training", "layout"))
 
 
 def make_sharded_eval_scan(model, mesh, local_gather=False,
                            embedding_exchange="psum",
-                           row_shard_threshold=50_000):
+                           row_shard_threshold=50_000,
+                           dedup_capacity=None):
     """Whole-dataset eval in one dispatch (training/train_step.py
     make_eval_scan), with per-batch DP sharding constraints."""
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
@@ -230,7 +239,8 @@ def make_sharded_eval_scan(model, mesh, local_gather=False,
         from ..training.train_step import unpack_batch
 
         exchange = (
-            dedup_exchange(mesh, threshold=row_shard_threshold)
+            dedup_exchange(mesh, capacity=dedup_capacity,
+                           threshold=row_shard_threshold)
             if embedding_exchange == "dedup" else contextlib.nullcontext()
         )
         rng = jax.random.PRNGKey(0) if training else None
@@ -252,7 +262,9 @@ def make_sharded_eval_scan(model, mesh, local_gather=False,
             )
             return carry, jax.lax.with_sharding_constraint(preds, out_sharding)
 
-        with exchange:
+        from ..ops import fused_grad
+
+        with fused_grad(False), exchange:
             _, preds = jax.lax.scan(body, 0, idx_mat)
         return preds.reshape(-1)
 
@@ -267,7 +279,8 @@ class ShardedTrainer(Trainer):
     def __init__(self, model, hparams=None, metrics=(), epoch=10, batch_size=64,
                  random_seed=2019, eval_in_training_mode=False, mesh=None,
                  row_shard_threshold=50_000, tp_dense_threshold=None,
-                 dataset_sharded=False, embedding_exchange="psum"):
+                 dataset_sharded=False, embedding_exchange="psum",
+                 dedup_capacity=None):
         self.mesh = mesh if mesh is not None else make_mesh()
         data_n = self.mesh.shape[DATA_AXIS]
         assert batch_size % data_n == 0, (
@@ -280,7 +293,6 @@ class ShardedTrainer(Trainer):
         # only its block). Replicated (False) matches the reference's
         # whole-dataset-in-memory model.
         self.dataset_sharded = dataset_sharded
-        self._data_rows = None  # set by _to_device when dataset_sharded
 
         # mirror Trainer.__init__ but with sharded state/steps
         hp = hparams or {}
@@ -301,21 +313,31 @@ class ShardedTrainer(Trainer):
             hp.get(BaseHyperParameters.LearningRate, 0.001),
         )
         self.embedding_exchange = embedding_exchange
+        # dedup_capacity: static per-shard unique-row bound of the dedup
+        # exchange (None = ceil(4N/S)). Ownership is range-partitioned, so
+        # for NON-hashed id distributions set capacity explicitly (up to N
+        # for unconditional exactness) — overflowing rows come back as
+        # zeros; validate with shard_lookup.dedup_embedding_lookup(...,
+        # check_overflow=True) on a sample batch.
+        self.dedup_capacity = dedup_capacity
         self._train_step = make_sharded_train_step(
             model, self.optimizer, self.mesh, local_gather=dataset_sharded,
             embedding_exchange=embedding_exchange,
             row_shard_threshold=row_shard_threshold,
+            dedup_capacity=dedup_capacity,
         )
         self._train_epoch = make_sharded_train_epoch(
             model, self.optimizer, self.mesh, local_gather=dataset_sharded,
             embedding_exchange=embedding_exchange,
             row_shard_threshold=row_shard_threshold,
+            dedup_capacity=dedup_capacity,
         )
         self._eval_step = make_sharded_eval_step(model, self.mesh)
         self._eval_scan = make_sharded_eval_scan(
             model, self.mesh, local_gather=dataset_sharded,
             embedding_exchange=embedding_exchange,
             row_shard_threshold=row_shard_threshold,
+            dedup_capacity=dedup_capacity,
         )
         self.state = shard_init_state(
             model, self.optimizer, jax.random.PRNGKey(random_seed), self.mesh,
@@ -344,7 +366,6 @@ class ShardedTrainer(Trainer):
         d_n = self.mesh.shape[DATA_AXIS]
         n = int(next(iter(data.values())).shape[0])
         local_n = -(-n // d_n)
-        self._data_rows = (n, local_n)
         out = {}
         for k, v in data.items():
             v = np.asarray(v)
