@@ -217,8 +217,10 @@ def _pallas_fwd(x0c, xkc, w, interpret):
     gp = g_groups * p  # field rows padded so _z_group never branches
     if gp > h0:
         x0c = jnp.pad(x0c, ((0, gp - h0), (0, 0)))
-    # z scratch (bf16) + in/out blocks, ~bytes per lane column
-    tbd = _pick_tile(bd, 2 * x_pad + 8 * (h0 + hk + o))
+    # z scratch (bf16) + in/out blocks, ~bytes per lane column. Tile-size
+    # sweep (NOTES.md): tbd=4096 beats 1024 by ~14% fwd where it fits
+    tbd = _pick_tile(bd, 2 * x_pad + 8 * (h0 + hk + o),
+                     budget_bytes=12 * 1024 * 1024)
     w_pad = _pack_w(w, h0, hk)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, h0, hk),
@@ -246,7 +248,8 @@ def _pallas_bwd(x0c, xkc, w, g, interpret):
     hkp, p, g_groups = _pack_dims(h0, hk)
     x_pad = g_groups * 128
     gp = g_groups * p  # field rows padded so the fori_loop never branches
-    tbd = _pick_tile(bd, 128 * 6 + hkp * 14 + 8 * (h0 + hk + o))
+    tbd = _pick_tile(bd, 128 * 6 + hkp * 14 + 8 * (h0 + hk + o),
+                     budget_bytes=10 * 1024 * 1024)
     if gp > h0:
         x0c = jnp.pad(x0c, ((0, gp - h0), (0, 0)))
     w_pad = _pack_w(w, h0, hk)
