@@ -296,3 +296,12 @@ class TestShardedCheckpoint:
                             mesh=mesh, row_shard_threshold=4096)
         t2.restore(tmp_path / "sharded")
         np.testing.assert_allclose(t2.predict(data), expect, rtol=1e-5)
+
+        # the checkpoint is mode-portable: a dedup-exchange + sharded-dataset
+        # trainer restores the same params and predicts identically
+        t3 = ShardedTrainer(model, epoch=1, batch_size=64, random_seed=3,
+                            mesh=mesh, row_shard_threshold=4096,
+                            embedding_exchange="dedup", dataset_sharded=True)
+        t3.restore(tmp_path / "sharded")
+        np.testing.assert_allclose(t3.predict(data), expect, rtol=1e-5,
+                                   atol=1e-6)
