@@ -71,41 +71,63 @@ class PackedEmbeddingLinear:
         use_bias = emb.use_bias
         w = self._linear_w(params, training, override)
 
-        from ..ops.embedding import _dedup_ctx
+        from ..ops.embedding import _dedup_ctx, _fused_apply_ctx
 
         # under the dedup all-to-all exchange, packed [table|bias|w]
         # temporaries would break the even row sharding the exchange
         # needs; run the towers unpacked so each (padded) table routes
         # through the exchange directly
+        fused = _fused_apply_ctx()
         packable = [] if _dedup_ctx() is not None else self.packable
         packable_names = {f.name for f in packable}
 
         embeds_by_name, bias_by_name = {}, {}
         linear_logit = params[f"{lin.prefix}linear_w0"]
 
-        # phase 1: build each feature's packed [table|bias|w] matrix and ids
-        packed_mats, ids_mats = [], []
+        ids_mats = []
         for feat in packable:
-            # tables may carry mesh-divisibility tail padding
-            # (parallel/sharding.py); slice back to the logical vocab so
-            # all packed columns agree
-            table = params[f"{emb.prefix}{feat.name}_feat_embed"]
-            cols = [table[: feat.feat_size]]
-            if use_bias:
-                cols.append(
-                    params[f"{emb.prefix}{feat.name}_feat_bias"][: feat.feat_size, None]
-                )
-            off = lin.offsets[feat.name]
-            cols.append(w[off : off + feat.feat_size][:, None])
-            packed_mats.append(jnp.concatenate(cols, axis=1))  # (V, k [+1] +1)
             if isinstance(feat, (MultiValCsvFeat, MultiValSparseFeat)):
                 ids_mats.append(jnp.maximum(batch[feat.name], 0))
             else:
                 ids_mats.append(batch[feat.name])
 
-        # phase 2: grouped lookup — same-shape features share one batched
-        # sort/permute in the backward (ops.embedding_lookup_grouped)
-        rows_list = embedding_lookup_grouped(packed_mats, ids_mats)
+        if fused is not None:
+            # fused backward+Adam training (training/fused_adam.py): gather
+            # from persistent pre-packed storage (no per-step concat) with
+            # the table detached, and add the zero perturbation whose
+            # cotangent is the per-row gradient stream the fused optimizer
+            # kernel consumes. Plain jnp.take on a stop_gradient operand
+            # emits NO scatter in the backward.
+            import jax
+
+            storage_w, perts = fused
+            rows_list = [
+                jnp.take(
+                    jax.lax.stop_gradient(storage_w[feat.name]), ids, axis=0
+                )
+                + perts[feat.name]
+                for feat, ids in zip(packable, ids_mats)
+            ]
+        else:
+            # phase 1: build each feature's packed [table|bias|w] matrix
+            packed_mats = []
+            for feat in packable:
+                # tables may carry mesh-divisibility tail padding
+                # (parallel/sharding.py); slice back to the logical vocab so
+                # all packed columns agree
+                table = params[f"{emb.prefix}{feat.name}_feat_embed"]
+                cols = [table[: feat.feat_size]]
+                if use_bias:
+                    cols.append(
+                        params[f"{emb.prefix}{feat.name}_feat_bias"][: feat.feat_size, None]
+                    )
+                off = lin.offsets[feat.name]
+                cols.append(w[off : off + feat.feat_size][:, None])
+                packed_mats.append(jnp.concatenate(cols, axis=1))  # (V, k [+1] +1)
+
+            # phase 2: grouped lookup — same-shape features share one batched
+            # sort/permute in the backward (ops.embedding_lookup_grouped)
+            rows_list = embedding_lookup_grouped(packed_mats, ids_mats)
 
         # phase 3: per-type postprocessing
         for feat, rows in zip(packable, rows_list):

@@ -86,6 +86,31 @@ def _dedup_ctx():
     return getattr(_state, "dedup", None)
 
 
+@contextlib.contextmanager
+def fused_apply(storage_w: dict, perts: dict):
+    """Trace the packed embedding+linear lookup against persistent packed
+    [table|bias|w] storage with zero-perturbation capture.
+
+    Installed by the fused backward+Adam train step
+    (training/fused_adam.py) around model.loss: layers/packed.py then
+    gathers rows from ``stop_gradient(storage_w[name])`` and adds
+    ``perts[name]`` (zeros) — the gradient w.r.t. the perturbation IS the
+    per-row cotangent stream, harvested without ever materializing a dense
+    table gradient or scatter. Single-shard only, like the other fused
+    ops; mutually exclusive with dedup_exchange."""
+    assert _dedup_ctx() is None, "fused_apply is incompatible with dedup_exchange"
+    prev = getattr(_state, "fused_apply", None)
+    _state.fused_apply = (storage_w, perts)
+    try:
+        yield
+    finally:
+        _state.fused_apply = prev
+
+
+def _fused_apply_ctx():
+    return getattr(_state, "fused_apply", None)
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 

@@ -46,7 +46,16 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _kernel(tile_v, chunk_n, b1, b2, eps, l2, bounds_ref,
+def storage_vpad(vocab: int, tile_v: int = 512) -> int:
+    """Padded row count that makes segment_adam_update's internal padding a
+    no-op for a (vocab, k) table at this tile size — persistent storage
+    (training/fused_adam.py) pre-pads to this so the per-step call never
+    copies the table."""
+    tile_v = min(tile_v, _round_up(vocab, 8))
+    return _round_up(vocab, tile_v)
+
+
+def _kernel(tile_v, chunk_n, b1, b2, eps, l2s, bounds_ref,
             sids_ref, sg_ref, w_ref, m_ref, v_ref, lr_ref, t_ref,
             w_out, m_out, v_out):
     import jax.experimental.pallas as pl
@@ -74,8 +83,11 @@ def _kernel(tile_v, chunk_n, b1, b2, eps, l2, bounds_ref,
     grad = jax.lax.fori_loop(0, num_chunks, chunk_body, grad)
 
     w = w_ref[:]
-    if l2:
-        grad = grad + (2.0 * l2) * w
+    if any(l2s):
+        # per-column L2 coefficients (a packed [table|bias|w] matrix mixes
+        # towers with different l2_reg); grad += 2*l2*w per column
+        l2v = 2.0 * jnp.asarray(l2s, dtype=jnp.float32)[None, :]  # (1, k)
+        grad = grad + l2v * w
 
     # optax.adam: m,v EMAs with bias correction, update = mhat/(sqrt(vhat)+eps)
     import math
@@ -100,12 +112,22 @@ def segment_adam_update(w, m, v, sids, sg, *, lr, step, b1=0.9, b2=0.999,
     (permuted) cotangent rows — exactly what ops.embedding's sorted
     backward machinery produces before its scatter. ``step`` is the
     1-based Adam step count (int array or python int); ``lr`` may be a
-    traced scalar (schedules). Returns (w', m', v').
+    traced scalar (schedules). ``l2`` is a scalar or a per-column
+    sequence (len k) of L2 coefficients, each applied as grad += 2*l2*w.
+    Returns (w', m', v').
+
+    If ``w.shape[0]`` is already a multiple of the effective tile size
+    (see ``storage_vpad``) no padding happens — persistent pre-padded
+    storage (training/fused_adam.py) round-trips with zero copies.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    l2s = tuple(float(x) for x in l2) if isinstance(l2, (tuple, list)) else None
     vocab, k = w.shape
+    if l2s is None:
+        l2s = (float(l2),) * k
+    assert len(l2s) == k, (len(l2s), k)
     n = sids.shape[0]
     tile_v = min(tile_v, _round_up(vocab, 8))
     chunk_n = min(chunk_n, _round_up(n, 8))
@@ -153,7 +175,7 @@ def segment_adam_update(w, m, v, sids, sg, *, lr, step, b1=0.9, b2=0.999,
         ],
     )
     w2, m2, v2 = pl.pallas_call(
-        functools.partial(_kernel, tile_v, chunk_n, b1, b2, eps, l2),
+        functools.partial(_kernel, tile_v, chunk_n, b1, b2, eps, l2s),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((v_pad, k), jnp.float32)] * 3,
         interpret=(jax.default_backend() != "tpu") if interpret is None
