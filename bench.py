@@ -32,7 +32,9 @@ WARMUP_STEPS = 5
 MEASURE_STEPS = 30
 
 
-def main():
+def main(fused=None):
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -40,6 +42,12 @@ def main():
     from recman_tpu.models import XDeepFM
     from recman_tpu.training import create_optimizer, init_state, make_train_step
     from recman_tpu.training.trainer import batch_indices
+
+    if fused is None:
+        # fused backward+Adam hot loop (training/fused_adam.py): the
+        # measured-faster default on TPU; --no-fused benches the standard
+        # scatter-grad + optax step
+        fused = "--no-fused" not in sys.argv
 
     feat_dict = create_criteo_features(num_buckets=NUM_BUCKETS)
     model = XDeepFM(
@@ -59,8 +67,21 @@ def main():
     data = {k: jnp.asarray(v) for k, v in data.items()}
 
     optimizer = create_optimizer("adam", 1e-3)
-    state = init_state(model, optimizer, jax.random.PRNGKey(0))
-    step = make_train_step(model, optimizer)
+    if fused:
+        from recman_tpu.training.fused_adam import FusedAdamTrainer
+
+        trainer = FusedAdamTrainer(
+            model, {"learning_rate": 1e-3}, batch_size=BATCH_SIZE
+        )
+        fstate = trainer._fstate
+
+        def step(state, data, idx, layout):
+            return trainer._fused_step(state, data, idx, layout)
+
+        state = fstate
+    else:
+        state = init_state(model, optimizer, jax.random.PRNGKey(0))
+        step = make_train_step(model, optimizer)
 
     idx_mat = batch_indices(N_ROWS, BATCH_SIZE, shuffle_seed=0)
     idx_mat = idx_mat[(idx_mat >= 0).all(axis=1)]  # full batches only

@@ -55,9 +55,13 @@ def storage_vpad(vocab: int, tile_v: int = 512) -> int:
     return _round_up(vocab, tile_v)
 
 
-def _kernel(tile_v, chunk_n, b1, b2, eps, l2s, bounds_ref,
+def _kernel(tile_v, chunk_n, b1, b2, eps, has_l2, bounds_ref,
             sids_ref, sg_ref, w_ref, m_ref, v_ref, lr_ref, t_ref,
-            w_out, m_out, v_out):
+            *refs):
+    if has_l2:
+        l2_ref, w_out, m_out, v_out = refs
+    else:
+        l2_ref, (w_out, m_out, v_out) = None, refs
     import jax.experimental.pallas as pl
 
     t = pl.program_id(0)
@@ -83,11 +87,11 @@ def _kernel(tile_v, chunk_n, b1, b2, eps, l2s, bounds_ref,
     grad = jax.lax.fori_loop(0, num_chunks, chunk_body, grad)
 
     w = w_ref[:]
-    if any(l2s):
+    if has_l2:
         # per-column L2 coefficients (a packed [table|bias|w] matrix mixes
-        # towers with different l2_reg); grad += 2*l2*w per column
-        l2v = 2.0 * jnp.asarray(l2s, dtype=jnp.float32)[None, :]  # (1, k)
-        grad = grad + l2v * w
+        # towers with different l2_reg); grad += 2*l2*w per column. Passed
+        # as a (1, k) input — Pallas rejects array constants in the kernel
+        grad = grad + (2.0 * l2_ref[:]) * w
 
     # optax.adam: m,v EMAs with bias correction, update = mhat/(sqrt(vhat)+eps)
     import math
@@ -156,18 +160,26 @@ def segment_adam_update(w, m, v, sids, sg, *, lr, step, b1=0.9, b2=0.999,
         m = jnp.pad(m, padw)
         v = jnp.pad(v, padw)
 
+    has_l2 = any(l2s)
+    in_specs = [
+        pl.BlockSpec((n_pad, 1), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_pad, k), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_v, k), lambda t, b: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_v, k), lambda t, b: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_v, k), lambda t, b: (t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,), lambda t, b: (0,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1,), lambda t, b: (0,), memory_space=pltpu.SMEM),
+    ]
+    inputs = [bounds, sids_p, sg_p, w, m, v, lr_arr, t_arr]
+    if has_l2:
+        in_specs.append(
+            pl.BlockSpec((1, k), lambda t, b: (0, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(jnp.asarray(l2s, jnp.float32)[None, :])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # bounds -> SMEM
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((n_pad, 1), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pad, k), lambda t, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_v, k), lambda t, b: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_v, k), lambda t, b: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_v, k), lambda t, b: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda t, b: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda t, b: (0,), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tile_v, k), lambda t, b: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_v, k), lambda t, b: (t, 0), memory_space=pltpu.VMEM),
@@ -175,12 +187,12 @@ def segment_adam_update(w, m, v, sids, sg, *, lr, step, b1=0.9, b2=0.999,
         ],
     )
     w2, m2, v2 = pl.pallas_call(
-        functools.partial(_kernel, tile_v, chunk_n, b1, b2, eps, l2s),
+        functools.partial(_kernel, tile_v, chunk_n, b1, b2, eps, has_l2),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((v_pad, k), jnp.float32)] * 3,
         interpret=(jax.default_backend() != "tpu") if interpret is None
         else interpret,
-    )(bounds, sids_p, sg_p, w, m, v, lr_arr, t_arr)
+    )(*inputs)
     if pad_rows:
         return w2[:vocab], m2[:vocab], v2[:vocab]
     return w2, m2, v2

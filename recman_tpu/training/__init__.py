@@ -1,4 +1,5 @@
 from .auc import StreamingAUC
+from .fused_adam import FusedAdamTrainer
 from .lr_schedule import large_batch_schedule, linear_scaled_lr, warmup_schedule
 from .metrics import Gini, LogLoss, RocAucScore
 from .train_step import (
@@ -12,6 +13,7 @@ from .train_step import (
 from .trainer import Trainer, batch_indices
 
 __all__ = [
+    "FusedAdamTrainer",
     "Gini",
     "LogLoss",
     "RocAucScore",
