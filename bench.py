@@ -44,10 +44,13 @@ def main(fused=None):
     from recman_tpu.training.trainer import batch_indices
 
     if fused is None:
-        # fused backward+Adam hot loop (training/fused_adam.py): the
-        # measured-faster default on TPU; --no-fused benches the standard
-        # scatter-grad + optax step
-        fused = "--no-fused" not in sys.argv
+        # --fused benches the fused backward+Adam hot loop
+        # (training/fused_adam.py). NOT the default: measured 237.6k vs
+        # 537.2k ex/s on this config — the segment-Adam kernel's
+        # mask-matmul work scales with V*chunk_n and the 17-lane packed
+        # width wastes VPU lanes (NOTES.md round-2 leads has the
+        # analysis); it wins only at larger k / denser id streams
+        fused = "--fused" in sys.argv
 
     feat_dict = create_criteo_features(num_buckets=NUM_BUCKETS)
     model = XDeepFM(

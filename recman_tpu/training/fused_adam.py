@@ -160,8 +160,17 @@ def make_fused_train_step(model, optimizer, lr_fn, *, tile_v=1024,
                    storage[f.name].shape[0])
             groups.setdefault(key, []).append(f)
 
+        def auto_chunk(n, vpad):
+            # the kernel's mask-matmul work is num_tiles * ceil(rows_in_
+            # tile / chunk) * chunk * tile_v * C — i.e. ~V * chunk when
+            # chunk >> rows-per-tile. Size chunks to ~2x the MEAN rows per
+            # tile (skewed/hot tiles just run more fori_loop iterations)
+            mean_rows = max(1, n * tile_v // max(vpad, 1))
+            return max(64, min(chunk_n, -(-2 * mean_rows // 8) * 8))
+
         new_w, new_m, new_v = dict(storage), dict(fstate["m"]), dict(fstate["v"])
         for (n, _vp), group in groups.items():
+            chunk = auto_chunk(n, _vp)
             ids_mat = jnp.stack(
                 [ids_by_name[f.name].reshape(-1).astype(jnp.int32) for f in group]
             )
@@ -176,7 +185,7 @@ def make_fused_train_step(model, optimizer, lr_fn, *, tile_v=1024,
                     storage[f.name], fstate["m"][f.name], fstate["v"][f.name],
                     sids[i], sg[i], lr=lr, step=step1,
                     b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS,
-                    l2=l2_cols, tile_v=tile_v, chunk_n=chunk_n,
+                    l2=l2_cols, tile_v=tile_v, chunk_n=chunk,
                 )
 
         out = {"rest": rest, "opt": opt_state, "w": new_w, "m": new_m,
