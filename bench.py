@@ -32,7 +32,7 @@ WARMUP_STEPS = 5
 MEASURE_STEPS = 30
 
 
-def main(fused=None):
+def main(fused=None, packed_storage=None):
     import sys
 
     import jax
@@ -51,6 +51,12 @@ def main(fused=None):
         # width wastes VPU lanes (NOTES.md round-2 leads has the
         # analysis); it wins only at larger k / denser id streams
         fused = "--fused" in sys.argv
+    if packed_storage is None:
+        # --std benches the separate-parameter step; the default hot loop
+        # is the persistent packed-storage trainer
+        # (training/packed_storage.py): same scatter backward + optax,
+        # minus the per-step [table|bias|w] concat/slice
+        packed_storage = not fused and "--std" not in sys.argv
 
     feat_dict = create_criteo_features(num_buckets=NUM_BUCKETS)
     model = XDeepFM(
@@ -82,6 +88,14 @@ def main(fused=None):
             return trainer._fused_step(state, data, idx, layout)
 
         state = fstate
+    elif packed_storage:
+        from recman_tpu.training import PackedStorageTrainer
+
+        trainer = PackedStorageTrainer(
+            model, {"learning_rate": 1e-3}, batch_size=BATCH_SIZE
+        )
+        state = trainer._pstate
+        step = trainer._packed_step
     else:
         state = init_state(model, optimizer, jax.random.PRNGKey(0))
         step = make_train_step(model, optimizer)

@@ -224,6 +224,41 @@ def _set_counts(opt_state, step):
     return tuple(fix(s) for s in opt_state)
 
 
+def storage_parts(model, params, feat):
+    """[table | (bias) | w-slice] columns of one packable feature, 2-D each
+    (reference-named params tree -> the feature's packed-storage columns).
+    Shared by FusedAdamTrainer and PackedStorageTrainer."""
+    emb, lin = model.embeddings, model.linear
+    cols = [params[f"{emb.prefix}{feat.name}_feat_embed"][: feat.feat_size]]
+    if emb.use_bias:
+        cols.append(
+            params[f"{emb.prefix}{feat.name}_feat_bias"][: feat.feat_size, None]
+        )
+    off = lin.offsets[feat.name]
+    cols.append(
+        params[f"{lin.prefix}linear_w"][off: off + feat.feat_size][:, None]
+    )
+    return cols
+
+
+def materialize_params(model, feats, tree_rest, stores) -> dict:
+    """rest tree + per-feature storage-shaped dict -> full ref-named tree."""
+    emb, lin = model.embeddings, model.linear
+    k = emb.embedding_size
+    out = dict(tree_rest)
+    w_full = out[f"{lin.prefix}linear_w"]
+    for f in feats:
+        sw = stores[f.name]
+        out[f"{emb.prefix}{f.name}_feat_embed"] = sw[: f.feat_size, :k]
+        if emb.use_bias:
+            out[f"{emb.prefix}{f.name}_feat_bias"] = sw[: f.feat_size, k]
+        w_full = jax.lax.dynamic_update_slice(
+            w_full, sw[: f.feat_size, -1], (lin.offsets[f.name],)
+        )
+    out[f"{lin.prefix}linear_w"] = w_full
+    return out
+
+
 def _copy_tree(tree):
     """Fresh buffers for every array leaf. The fused step donates its whole
     state dict, so (a) no two leaves may alias one buffer (jnp.zeros_like
@@ -278,18 +313,7 @@ class FusedAdamTrainer(Trainer):
 
     # -- state surgery -------------------------------------------------------
     def _storage_parts(self, params, feat):
-        """[table | (bias) | w-slice] columns of one feature, 2-D each."""
-        emb, lin = self.model.embeddings, self.model.linear
-        cols = [params[f"{emb.prefix}{feat.name}_feat_embed"][: feat.feat_size]]
-        if emb.use_bias:
-            cols.append(
-                params[f"{emb.prefix}{feat.name}_feat_bias"][: feat.feat_size, None]
-            )
-        off = lin.offsets[feat.name]
-        cols.append(
-            params[f"{lin.prefix}linear_w"][off: off + feat.feat_size][:, None]
-        )
-        return cols
+        return storage_parts(self.model, params, feat)
 
     def _carve(self, params, opt_state, step, rng) -> dict:
         """Full reference-named (params, optax state) -> fused state dict."""
@@ -333,21 +357,7 @@ class FusedAdamTrainer(Trainer):
         )
 
     def _materialize(self, tree_rest, stores) -> dict:
-        """rest tree + per-feature storage-shaped dict -> full ref-named tree."""
-        emb, lin = self.model.embeddings, self.model.linear
-        k = emb.embedding_size
-        out = dict(tree_rest)
-        w_full = out[f"{lin.prefix}linear_w"]
-        for f in self._feats:
-            sw = stores[f.name]
-            out[f"{emb.prefix}{f.name}_feat_embed"] = sw[: f.feat_size, :k]
-            if emb.use_bias:
-                out[f"{emb.prefix}{f.name}_feat_bias"] = sw[: f.feat_size, k]
-            w_full = jax.lax.dynamic_update_slice(
-                w_full, sw[: f.feat_size, -1], (lin.offsets[f.name],)
-            )
-        out[f"{lin.prefix}linear_w"] = w_full
-        return out
+        return materialize_params(self.model, self._feats, tree_rest, stores)
 
     def _sync(self):
         """Refresh self.state.params from the fused state (cheap slices;
