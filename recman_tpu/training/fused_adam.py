@@ -402,6 +402,13 @@ class FusedAdamTrainer(Trainer):
 
     def import_state(self, state: TrainState):
         """Adopt a standard-Trainer TrainState (e.g. a restored ckpt)."""
+        # see PackedStorageTrainer.import_state: a moment-less state at
+        # step>0 would silently reset Adam moments (ADVICE r1)
+        assert _find_adam(state.opt_state) is not None or int(state.step) == 0, (
+            "import_state got a state without Adam moments at step "
+            f"{int(state.step)}: moments would silently reset. Pass a "
+            "full state (e.g. from export_state())."
+        )
         self._fstate = self._carve(state.params, state.opt_state,
                                    state.step, state.rng)
         self.state = TrainState(state.params, (), state.step, state.rng)
@@ -421,6 +428,10 @@ class FusedAdamTrainer(Trainer):
         return super()._predict_device(*args, **kwargs)
 
     def save(self, directory):
+        # sync FIRST so the state captured for the finally-restore is the
+        # post-training one; capturing pre-sync left _dirty=False with
+        # stale params after save() (ADVICE r1, medium)
+        self._sync()
         state, self.state = self.state, self.export_state()
         try:
             super().save(directory)

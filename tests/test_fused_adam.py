@@ -121,6 +121,34 @@ class TestFusedAdamTrainer:
         with pytest.raises(AssertionError):
             FusedAdamTrainer(model, {**HP, "optimizer": "lamb"})
 
+    def test_predict_after_save_is_fresh(self, synthetic_features,
+                                         synthetic_df, tmp_path):
+        """save() used to restore the PRE-sync state with _dirty=False —
+        predictions after save() silently used stale weights (ADVICE r1,
+        medium)."""
+        y = synthetic_df["LABEL"].values.astype(np.float32)
+        model, std, fused = _trainers(synthetic_features)
+        X = model.feat_dict.transform(synthetic_df)
+        _run(std, synthetic_df, y, steps=3)
+        _run(fused, synthetic_df, y, steps=3)
+        fused.save(str(tmp_path / "ckpt"))
+        np.testing.assert_allclose(
+            fused.predict(X), std.predict(X), rtol=1e-4, atol=1e-6
+        )
+
+    def test_import_rejects_momentless_midtraining_state(
+            self, synthetic_features, synthetic_df):
+        """A TrainState without Adam moments at step>0 must be rejected,
+        not silently reset the kernel-owned moments (ADVICE r1)."""
+        y = synthetic_df["LABEL"].values.astype(np.float32)
+        model, _, fused = _trainers(synthetic_features)
+        _run(fused, synthetic_df, y, steps=2)
+        fused._sync()
+        fused2 = FusedAdamTrainer(model, HP, batch_size=8, random_seed=7,
+                                  tile_v=8, chunk_n=8)
+        with pytest.raises(AssertionError, match="moments"):
+            fused2.import_state(fused.state)
+
     def test_lr_schedule(self, synthetic_features, synthetic_df):
         """Callable learning rates route through both optax and the kernel
         at the same (pre-increment) step count."""

@@ -136,3 +136,44 @@ class TestPackedStorageTrainer:
             PackedStorageTrainer(
                 model, dict(HP, optimizer="lamb"), batch_size=8
             )
+
+    def test_rejects_optimizer_object(self, synthetic_features):
+        """A GradientTransformation bypassed the elementwise check and
+        silently broke trajectory identity (ADVICE r1)."""
+        import optax
+
+        model = XDeepFM(synthetic_features, HP)
+        with pytest.raises(AssertionError, match="elementwise"):
+            PackedStorageTrainer(
+                model, dict(HP, optimizer=optax.lamb(1e-3)), batch_size=8
+            )
+
+    def test_predict_after_save_is_fresh(self, synthetic_features,
+                                         synthetic_df, tmp_path):
+        """save() used to restore the PRE-sync state with _dirty=False —
+        predictions after save() silently used stale weights (ADVICE r1,
+        medium)."""
+        y = synthetic_df["LABEL"].values.astype(np.float32)
+        model, std, packed = _trainers(synthetic_features)
+        X = model.feat_dict.transform(synthetic_df)
+        _run(std, synthetic_df, y, steps=3)
+        _run(packed, synthetic_df, y, steps=3)
+        packed.save(str(tmp_path / "ckpt"))
+        np.testing.assert_allclose(
+            packed.predict(X), std.predict(X), rtol=1e-5, atol=1e-7
+        )
+
+    def test_import_rejects_momentless_midtraining_state(
+            self, synthetic_features, synthetic_df):
+        """A TrainState with opt_state=() but step>0 (e.g. another packed
+        trainer's own .state) must be rejected, not silently reset Adam
+        moments (ADVICE r1)."""
+        y = synthetic_df["LABEL"].values.astype(np.float32)
+        model, _, packed = _trainers(synthetic_features)
+        _run(packed, synthetic_df, y, steps=2)
+        packed._sync()
+        assert packed.state.opt_state == ()  # the hazardous shape
+        packed2 = PackedStorageTrainer(model, HP, batch_size=8,
+                                       random_seed=7)
+        with pytest.raises(AssertionError, match="moments"):
+            packed2.import_state(packed.state)
