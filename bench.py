@@ -31,6 +31,80 @@ N_ROWS = 65_536
 WARMUP_STEPS = 5
 MEASURE_STEPS = 30
 
+# TPU v5e (v5 lite) peak specs for the utilization report
+PEAK_BF16_FLOPS = 197e12  # per chip
+PEAK_HBM_BYTES = 819e9  # per chip, per second
+
+
+def step_cost_model(batch=BATCH_SIZE, n_cat=26, vocab=NUM_BUCKETS, k=16,
+                    n_dense=13, cin_units=(100, 100), dnn=(400, 400)):
+    """Analytic FLOPs + HBM bytes for ONE train step of the bench config.
+
+    Used to convert measured ms/step into MFU and HBM-bandwidth
+    utilization (VERDICT r1: self-relative speedups say nothing about
+    distance to speed-of-light). Counts, per step:
+
+    FLOPs — the matmul towers at 3x forward (fwd + 2x backward), plus the
+    Adam elementwise sweep (~12 flops/param):
+      * CIN layer l (fan-in H_in, units u): z = B*D*H_in*H0 mults, then a
+        (B*D, H_in*H0) @ (H_in*H0, u) contraction (2*B*D*H_in*H0*u).
+        Half the maps feed the next layer (direct-connect split).
+      * DNN: 2*B*sum(d_in*d_out) over [in->h1->h2->1].
+    Bytes — the flows that dominate a CTR step (all f32=4B except the
+    bf16 CIN streams):
+      * embedding/linear packed params P = n_cat*vocab*(k+1):
+        fwd gathers (random reads), backward sort/permute/scatter of the
+        cotangent stream, ONE dense-grad materialization + L2 fold, and
+        the Adam sweep (read g,w,m,v; write w,m,v) = 7 passes over P.
+      * CIN kernel streams x0/xk in and out per layer in bf16 (z stays in
+        VMEM — the field-major Pallas design), 3x for training.
+      * DNN activations fwd+bwd.
+    The model is documented-approximate (+-20%): good enough to say
+    whether the step is compute- or bandwidth-bound and how far from the
+    roofline it sits.
+    """
+    D = k
+    H0 = n_cat
+
+    # --- FLOPs
+    cin_fwd = 0.0
+    h_in = H0
+    for u in cin_units:
+        cin_fwd += batch * D * h_in * H0  # z outer products
+        cin_fwd += 2.0 * batch * D * (h_in * H0) * u  # filter contraction
+        h_in = u // 2  # direct-connect half split
+    dnn_dims = [n_cat * k + n_dense, *dnn, 1]
+    dnn_fwd = sum(
+        2.0 * batch * din * dout for din, dout in zip(dnn_dims, dnn_dims[1:])
+    )
+    P_emb = n_cat * vocab * (k + 1)
+    P_dense = sum(din * dout for din, dout in zip(dnn_dims, dnn_dims[1:]))
+    h_in, P_cin = H0, 0
+    for u in cin_units:
+        P_cin += h_in * H0 * u
+        h_in = u // 2
+    n_params = P_emb + P_dense + P_cin
+    flops = 3.0 * (cin_fwd + dnn_fwd) + 12.0 * n_params
+
+    # --- bytes
+    row_bytes = (k + 1) * 4
+    gathered = n_cat * batch * row_bytes  # fwd random reads
+    backward_stream = 3 * gathered  # cotangent slice + sorted permute + read
+    sort_keys = 2 * n_cat * batch * 8  # (id, iota) sort_key_val
+    dense_grad = 2 * P_emb * 4  # scatter materializes + L2 fold reads w
+    adam = 7 * P_emb * 4  # read g,w,m,v; write w,m,v
+    emb_bytes = gathered + backward_stream + sort_keys + dense_grad + adam
+
+    cin_bytes = 0.0
+    h_in = H0
+    for u in cin_units:
+        cin_bytes += 3 * (batch * D * (h_in + H0) * 2 + batch * D * u * 2)
+        h_in = u // 2
+    dnn_bytes = 3 * sum(2 * batch * d * 4 for d in dnn_dims)
+    batch_bytes = batch * (n_cat + n_dense + 1) * 4
+    bytes_total = emb_bytes + cin_bytes + dnn_bytes + batch_bytes
+    return flops, bytes_total
+
 
 def main(fused=None, packed_storage=None):
     import sys
@@ -120,6 +194,8 @@ def main(fused=None, packed_storage=None):
     elapsed = time.perf_counter() - t0
 
     examples_per_sec = MEASURE_STEPS * BATCH_SIZE / elapsed
+    sec_per_step = elapsed / MEASURE_STEPS
+    flops, hbm_bytes = step_cost_model()
     print(
         json.dumps(
             {
@@ -127,6 +203,15 @@ def main(fused=None, packed_storage=None):
                 "value": round(examples_per_sec, 1),
                 "unit": "examples/sec",
                 "vs_baseline": round(examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 3),
+                # absolute-utilization view (analytic step_cost_model):
+                # the step is HBM-bandwidth/latency-bound, so hbm_util is
+                # the roofline distance that matters; mfu is reported for
+                # completeness (CTR models are gather-dominated, not MXU)
+                "ms_per_step": round(1e3 * sec_per_step, 2),
+                "mfu": round(flops / sec_per_step / PEAK_BF16_FLOPS, 4),
+                "hbm_util": round(hbm_bytes / sec_per_step / PEAK_HBM_BYTES, 3),
+                "model_gflops_per_step": round(flops / 1e9, 1),
+                "model_hbm_gb_per_step": round(hbm_bytes / 1e9, 3),
             }
         )
     )
