@@ -126,11 +126,12 @@ def main(fused=None, packed_storage=None):
         # analysis); it wins only at larger k / denser id streams
         fused = "--fused" in sys.argv
     if packed_storage is None:
-        # --std benches the separate-parameter step; the default hot loop
-        # is the persistent packed-storage trainer
-        # (training/packed_storage.py): same scatter backward + optax,
-        # minus the per-step [table|bias|w] concat/slice
-        packed_storage = not fused and "--std" not in sys.argv
+        # the DEFAULT hot loop is the standard step — measured 545.2k ex/s
+        # on TPU v5e 2026-08-19 vs 244.8k for --packed (the persistent
+        # packed-storage trainer, training/packed_storage.py; analysis in
+        # NOTES.md). Process rule (VERDICT r1): the default never changes
+        # without a same-session TPU measurement recorded in BASELINE.md.
+        packed_storage = not fused and "--packed" in sys.argv
 
     feat_dict = create_criteo_features(num_buckets=NUM_BUCKETS)
     model = XDeepFM(

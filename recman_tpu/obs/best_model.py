@@ -63,3 +63,16 @@ class BestModelFinder:
             self._model = trainer
             if self.save_model:
                 trainer.save(self.save_dir)
+                # dataframe-sample sidecar next to the checkpoint
+                # (reference pickles df_all alongside hparams/feat_dict,
+                # BestModelFinder.py:61-68; hparams + feat_dict sidecars
+                # are written by trainer.save already)
+                df_all = kwargs.get("df_all")
+                if df_all is not None:
+                    import os
+                    import pickle
+
+                    with open(os.path.join(self.save_dir, "df_sample.pkl"),
+                              "wb") as f:
+                        pickle.dump(df_all, f,
+                                    protocol=pickle.HIGHEST_PROTOCOL)

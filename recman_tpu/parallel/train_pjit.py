@@ -280,7 +280,7 @@ class ShardedTrainer(Trainer):
                  random_seed=2019, eval_in_training_mode=False, mesh=None,
                  row_shard_threshold=50_000, tp_dense_threshold=None,
                  dataset_sharded=False, embedding_exchange="psum",
-                 dedup_capacity=None):
+                 dedup_capacity=None, multihost_feed=None):
         self.mesh = mesh if mesh is not None else make_mesh()
         data_n = self.mesh.shape[DATA_AXIS]
         assert batch_size % data_n == 0, (
@@ -293,6 +293,19 @@ class ShardedTrainer(Trainer):
         # only its block). Replicated (False) matches the reference's
         # whole-dataset-in-memory model.
         self.dataset_sharded = dataset_sharded
+        # multihost_feed (auto-on when jax.process_count() > 1): X passed
+        # to fit/_to_device holds THIS PROCESS's rows only; the global
+        # dataset is assembled per shard via
+        # jax.make_array_from_process_local_data (the multi-process
+        # generalization of the reference's whole-dataset fit loop,
+        # DeepModel.py:141 — SURVEY.md §2.8 runtime row). Every process
+        # must feed the same number of rows (pad the data beforehand) and
+        # use the same shuffle seeds (fit already seeds deterministically).
+        if multihost_feed is None:
+            multihost_feed = jax.process_count() > 1
+        self.multihost_feed = multihost_feed
+        if multihost_feed:
+            assert dataset_sharded, "multihost_feed requires dataset_sharded"
 
         # mirror Trainer.__init__ but with sharded state/steps
         hp = hparams or {}
@@ -450,18 +463,32 @@ class ShardedTrainer(Trainer):
 
         # row-shard: pad rows to D*local_n so each data shard holds one
         # contiguous block; padded tail rows are never addressed (local
-        # index matrices mark them -1)
+        # index matrices mark them -1). Under multihost_feed, the incoming
+        # rows are THIS PROCESS's block and the global array is assembled
+        # from per-process local data without ever materializing the whole
+        # dataset on one host (jax.make_array_from_process_local_data).
         d_n = self.mesh.shape[DATA_AXIS]
-        n = int(next(iter(data.values())).shape[0])
-        local_n = -(-n // d_n)
+        procs = jax.process_count() if self.multihost_feed else 1
+        spp = d_n // procs  # data shards per process
+        assert spp * procs == d_n, (
+            f"data axis {d_n} must divide process count {procs}"
+        )
+        n = int(next(iter(data.values())).shape[0])  # per-process rows
+        local_n = -(-n // spp)
         out = {}
         for k, v in data.items():
             v = np.asarray(v)
-            if n != d_n * local_n:
-                pad = [(0, d_n * local_n - n)] + [(0, 0)] * (v.ndim - 1)
+            if n != spp * local_n:
+                pad = [(0, spp * local_n - n)] + [(0, 0)] * (v.ndim - 1)
                 v = np.pad(v, pad)
             spec = P(DATA_AXIS, *([None] * (v.ndim - 1)))
-            out[k] = jax.device_put(v, NamedSharding(self.mesh, spec))
+            sharding = NamedSharding(self.mesh, spec)
+            if self.multihost_feed:
+                out[k] = jax.make_array_from_process_local_data(
+                    sharding, v, (d_n * local_n, *v.shape[1:])
+                )
+            else:
+                out[k] = jax.device_put(v, sharding)
         return out, layout
 
     def _batch_index_matrix(self, n: int, shuffle_seed=None) -> np.ndarray:
@@ -469,18 +496,22 @@ class ShardedTrainer(Trainer):
         the concat over shards d of local_bs indices into shard d (-1 pad).
         Shuffles happen independently within each shard (standard per-host
         shuffling at scale); eval (no seed) is sequential so predictions
-        reorder deterministically (_unshard_preds)."""
+        reorder deterministically (_unshard_preds). Under multihost_feed,
+        ``n`` is the per-process row count and the (seeded) matrix comes out
+        identical on every process, covering all global shards."""
         if not self.dataset_sharded:
             return super()._batch_index_matrix(n, shuffle_seed)
         d_n = self.mesh.shape[DATA_AXIS]
-        local_n = -(-n // d_n)
+        procs = jax.process_count() if self.multihost_feed else 1
+        spp = d_n // procs
+        local_n = -(-n // spp)
         local_bs = self.batch_size // d_n
         num_batches = local_n // local_bs + 1
         rs = (np.random.RandomState(shuffle_seed)
               if shuffle_seed is not None else None)
         idx = np.full((num_batches * local_bs, d_n), -1, dtype=np.int32)
         for d in range(d_n):
-            valid = min(max(n - d * local_n, 0), local_n)
+            valid = min(max(n - (d % spp) * local_n, 0), local_n)
             order = np.arange(valid, dtype=np.int32)
             if rs is not None:
                 order = rs.permutation(valid).astype(np.int32)
@@ -494,10 +525,17 @@ class ShardedTrainer(Trainer):
 
     def _unshard_preds(self, preds: np.ndarray, n: int) -> np.ndarray:
         """Scan output is [batch, shard, j]-ordered when dataset_sharded;
-        map back to dataset row order (shards hold contiguous row blocks)."""
+        map back to dataset row order (shards hold contiguous row blocks).
+        Under multihost_feed the eval output is replicated everywhere; each
+        process returns the predictions for ITS OWN ``n`` rows."""
         if not self.dataset_sharded:
             return preds[:n]
         d_n = self.mesh.shape[DATA_AXIS]
+        if self.multihost_feed:
+            procs, pid = jax.process_count(), jax.process_index()
+        else:
+            procs, pid = 1, 0
+        spp = d_n // procs
         local_bs = self.batch_size // d_n
         nb = preds.shape[0] // (d_n * local_bs)
         per_shard = (
@@ -505,5 +543,6 @@ class ShardedTrainer(Trainer):
             .transpose(1, 0, 2)
             .reshape(d_n, nb * local_bs)
         )
-        local_n = -(-n // d_n)
-        return per_shard[:, :local_n].reshape(-1)[:n]
+        local_n = -(-n // spp)
+        mine = per_shard[pid * spp: (pid + 1) * spp]
+        return mine[:, :local_n].reshape(-1)[:n]

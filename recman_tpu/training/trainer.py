@@ -213,12 +213,24 @@ class Trainer:
         random_seed_for_mini_batch=True,
         tb_logger=None,
         epoch_callback=None,
+        show_progress=False,
         batch_number_to_show_progress=50,
     ):
         """Reference fit loop shape (DeepModel.py:141-228): epoch-0 eval
         (with an optional profiler trace), per-epoch reshuffle + step loop +
-        eval + TB log + callback."""
+        eval + TB log + callback; ``show_progress`` drives a tqdm epoch bar
+        (DeepModel.py:158)."""
         assert X_train is not None and y_train is not None
+        import contextlib
+
+        try:
+            import tqdm
+
+            progress = tqdm.tqdm(desc="fit", total=self.epoch,
+                                 disable=not show_progress)
+        except ImportError:  # pragma: no cover
+            progress = contextlib.nullcontext()
+            progress.update = lambda *a, **k: None
 
         if tb_logger is not None:
             tb_logger.configure_hparams(self.hparams, self.metrics)
@@ -293,6 +305,9 @@ class Trainer:
                     eval_results=eval_results,
                     df_all=X_train[:1] if hasattr(X_train, "__getitem__") else None,
                 )
+            progress.update(1)
+        if hasattr(progress, "close"):
+            progress.close()
         return self
 
     # -- checkpointing (reference DeepModel.py:83-86) ----------------------

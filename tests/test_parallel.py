@@ -195,6 +195,51 @@ class TestShardedDataset:
         shrd.fit(data, y, random_seed_for_mini_batch=False)
         assert shrd.evaluate(data, y)[0] < before
 
+    def test_multihost_feed_path_matches_device_put(self, mesh24):
+        """multihost_feed=True assembles the dataset with
+        jax.make_array_from_process_local_data — with process_count()==1 it
+        must be byte-identical to the device_put path, and the full
+        fit/evaluate surface must agree (VERDICT r1 missing #2; the code
+        path real pods use, SURVEY §2.8 runtime row / DeepModel.py:141)."""
+        from recman_tpu.models import DeepFM
+
+        fs = create_criteo_features(num_buckets=500)
+        data = synthetic_criteo_arrays(301, num_buckets=500, seed=5)
+        kw = dict(
+            hparams={"learning_rate": 0.01, "optimizer": "adam"},
+            metrics=(LogLoss(),), epoch=1, batch_size=64, random_seed=2019,
+            mesh=mesh24, dataset_sharded=True,
+        )
+        model = DeepFM(fs, {"embedding_size": 4, "deep_hidden_units": (8,),
+                            "deep_dropout": (1.0, 1.0)})
+        base = ShardedTrainer(model, **kw)
+        multi = ShardedTrainer(model, multihost_feed=True, **kw)
+        y = data["y"]
+
+        dev_b, _ = base._to_device(data, y)
+        dev_m, _ = multi._to_device(data, y)
+        for k in dev_b:
+            assert dev_m[k].sharding == dev_b[k].sharding
+            np.testing.assert_array_equal(np.asarray(dev_m[k]),
+                                          np.asarray(dev_b[k]))
+
+        base.fit(data, y, random_seed_for_mini_batch=False)
+        multi.fit(data, y, random_seed_for_mini_batch=False)
+        np.testing.assert_allclose(base.evaluate(data, y)[0],
+                                   multi.evaluate(data, y)[0], rtol=1e-5)
+        np.testing.assert_allclose(base.predict(data), multi.predict(data),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_multihost_feed_requires_dataset_sharded(self, mesh24):
+        from recman_tpu.models import DeepFM
+
+        fs = create_criteo_features(num_buckets=500)
+        model = DeepFM(fs, {"embedding_size": 4, "deep_hidden_units": (8,),
+                            "deep_dropout": (1.0, 1.0)})
+        with pytest.raises(AssertionError, match="dataset_sharded"):
+            ShardedTrainer(model, mesh=mesh24, batch_size=64,
+                           multihost_feed=True)
+
     def test_local_index_matrix_covers_every_row_once(self, mesh24):
         _, shrd, _ = self._trainers(mesh24)
         n = 301

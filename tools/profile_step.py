@@ -72,6 +72,8 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default=None)
+    ap.add_argument("--path", choices=("std", "packed", "fused"),
+                    default="std", help="which hot loop to profile")
     args = ap.parse_args()
 
     import jax
@@ -102,8 +104,23 @@ def main():
     data, layout = pack_dataset(data)
     data = {k: jnp.asarray(v) for k, v in data.items()}
     optimizer = create_optimizer("adam", 1e-3)
-    state = init_state(model, optimizer, jax.random.PRNGKey(0))
-    step = make_train_step(model, optimizer)
+    if args.path == "packed":
+        from recman_tpu.training import PackedStorageTrainer
+
+        trainer = PackedStorageTrainer(
+            model, {"learning_rate": 1e-3}, batch_size=bench.BATCH_SIZE
+        )
+        state, step = trainer._pstate, trainer._packed_step
+    elif args.path == "fused":
+        from recman_tpu.training.fused_adam import FusedAdamTrainer
+
+        trainer = FusedAdamTrainer(
+            model, {"learning_rate": 1e-3}, batch_size=bench.BATCH_SIZE
+        )
+        state, step = trainer._fstate, trainer._fused_step
+    else:
+        state = init_state(model, optimizer, jax.random.PRNGKey(0))
+        step = make_train_step(model, optimizer)
     idx_mat = batch_indices(bench.N_ROWS, bench.BATCH_SIZE, shuffle_seed=0)
     idx_mat = idx_mat[(idx_mat >= 0).all(axis=1)]
     idx = [jnp.asarray(row) for row in idx_mat]
