@@ -106,7 +106,7 @@ def step_cost_model(batch=BATCH_SIZE, n_cat=26, vocab=NUM_BUCKETS, k=16,
     return flops, bytes_total
 
 
-def main(fused=None, packed_storage=None):
+def main(fused=None):
     import sys
 
     import jax
@@ -125,13 +125,12 @@ def main(fused=None, packed_storage=None):
         # width wastes VPU lanes (NOTES.md round-2 leads has the
         # analysis); it wins only at larger k / denser id streams
         fused = "--fused" in sys.argv
-    if packed_storage is None:
-        # the DEFAULT hot loop is the standard step — measured 545.2k ex/s
-        # on TPU v5e 2026-08-19 vs 244.8k for --packed (the persistent
-        # packed-storage trainer, training/packed_storage.py; analysis in
-        # NOTES.md). Process rule (VERDICT r1): the default never changes
-        # without a same-session TPU measurement recorded in BASELINE.md.
-        packed_storage = not fused and "--packed" in sys.argv
+    # the DEFAULT hot loop is the standard step — measured 545.2k ex/s on
+    # TPU v5e 2026-08-19. The persistent packed-storage trainer was
+    # measured at 244.8k (profiled: (V,17) storage is lane-layout-hostile)
+    # and DELETED — postmortem in NOTES.md. Process rule (VERDICT r1): the
+    # default never changes without a same-session TPU measurement
+    # recorded in BASELINE.md.
 
     feat_dict = create_criteo_features(num_buckets=NUM_BUCKETS)
     model = XDeepFM(
@@ -163,14 +162,6 @@ def main(fused=None, packed_storage=None):
             return trainer._fused_step(state, data, idx, layout)
 
         state = fstate
-    elif packed_storage:
-        from recman_tpu.training import PackedStorageTrainer
-
-        trainer = PackedStorageTrainer(
-            model, {"learning_rate": 1e-3}, batch_size=BATCH_SIZE
-        )
-        state = trainer._pstate
-        step = trainer._packed_step
     else:
         state = init_state(model, optimizer, jax.random.PRNGKey(0))
         step = make_train_step(model, optimizer)

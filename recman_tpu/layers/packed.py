@@ -71,11 +71,7 @@ class PackedEmbeddingLinear:
         use_bias = emb.use_bias
         w = self._linear_w(params, training, override)
 
-        from ..ops.embedding import (
-            _dedup_ctx,
-            _fused_apply_ctx,
-            _packed_storage_ctx,
-        )
+        from ..ops.embedding import _dedup_ctx, _fused_apply_ctx
 
         # under the dedup all-to-all exchange, packed [table|bias|w]
         # temporaries would break the even row sharding the exchange
@@ -112,14 +108,6 @@ class PackedEmbeddingLinear:
                 + perts[feat.name]
                 for feat, ids in zip(packable, ids_mats)
             ]
-        elif (storage := _packed_storage_ctx()) is not None:
-            # persistent packed storage (training/packed_storage.py): the
-            # [table|(bias)|w] matrices already live as parameters — gather
-            # straight from them, differentiably; the grouped lookup's
-            # sorted-scatter backward writes the storage gradient directly
-            rows_list = embedding_lookup_grouped(
-                [storage[feat.name] for feat in packable], ids_mats
-            )
         else:
             # phase 1: build each feature's packed [table|bias|w] matrix
             packed_mats = []

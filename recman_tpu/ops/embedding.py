@@ -111,35 +111,6 @@ def _fused_apply_ctx():
     return getattr(_state, "fused_apply", None)
 
 
-@contextlib.contextmanager
-def packed_storage_apply(storage_w: dict):
-    """Trace the packed embedding+linear lookup against persistent packed
-    [table|(bias)|w] storage, DIFFERENTIABLY.
-
-    Installed by training/packed_storage.PackedStorageTrainer around
-    model.loss: layers/packed.py then gathers rows straight from
-    ``storage_w[name]`` (the traced per-feature matrices) instead of
-    concatenating [table|bias|w] per step — gradients flow into the
-    storage through the standard sorted-scatter backward, and optax runs
-    directly over the storage matrices. Unlike ``fused_apply`` there is
-    no stop_gradient and no perturbation: this keeps the winning scatter
-    path and only removes the per-step concat/slice HBM traffic.
-    Single-shard only; mutually exclusive with dedup_exchange."""
-    assert _dedup_ctx() is None, (
-        "packed_storage_apply is incompatible with dedup_exchange"
-    )
-    prev = getattr(_state, "packed_storage", None)
-    _state.packed_storage = storage_w
-    try:
-        yield
-    finally:
-        _state.packed_storage = prev
-
-
-def _packed_storage_ctx():
-    return getattr(_state, "packed_storage", None)
-
-
 def _round_up(x, m):
     return (x + m - 1) // m * m
 

@@ -2,7 +2,6 @@ from .auc import StreamingAUC
 from .fused_adam import FusedAdamTrainer
 from .lr_schedule import large_batch_schedule, linear_scaled_lr, warmup_schedule
 from .metrics import Gini, LogLoss, RocAucScore
-from .packed_storage import PackedStorageTrainer
 from .train_step import (
     TrainState,
     create_optimizer,
@@ -16,7 +15,6 @@ from .trainer import Trainer, batch_indices
 __all__ = [
     "FusedAdamTrainer",
     "Gini",
-    "PackedStorageTrainer",
     "LogLoss",
     "RocAucScore",
     "StreamingAUC",

@@ -226,8 +226,7 @@ def _set_counts(opt_state, step):
 
 def storage_parts(model, params, feat):
     """[table | (bias) | w-slice] columns of one packable feature, 2-D each
-    (reference-named params tree -> the feature's packed-storage columns).
-    Shared by FusedAdamTrainer and PackedStorageTrainer."""
+    (reference-named params tree -> the feature's packed-storage columns)."""
     emb, lin = model.embeddings, model.linear
     cols = [params[f"{emb.prefix}{feat.name}_feat_embed"][: feat.feat_size]]
     if emb.use_bias:
@@ -402,8 +401,9 @@ class FusedAdamTrainer(Trainer):
 
     def import_state(self, state: TrainState):
         """Adopt a standard-Trainer TrainState (e.g. a restored ckpt)."""
-        # see PackedStorageTrainer.import_state: a moment-less state at
-        # step>0 would silently reset Adam moments (ADVICE r1)
+        # a moment-less state at step>0 (e.g. this trainer's own .state,
+        # whose opt_state is dropped) would silently reset Adam moments
+        # while keeping the nonzero step (ADVICE r1)
         assert _find_adam(state.opt_state) is not None or int(state.step) == 0, (
             "import_state got a state without Adam moments at step "
             f"{int(state.step)}: moments would silently reset. Pass a "

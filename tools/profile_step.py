@@ -72,7 +72,7 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default=None)
-    ap.add_argument("--path", choices=("std", "packed", "fused"),
+    ap.add_argument("--path", choices=("std", "fused"),
                     default="std", help="which hot loop to profile")
     args = ap.parse_args()
 
@@ -104,14 +104,7 @@ def main():
     data, layout = pack_dataset(data)
     data = {k: jnp.asarray(v) for k, v in data.items()}
     optimizer = create_optimizer("adam", 1e-3)
-    if args.path == "packed":
-        from recman_tpu.training import PackedStorageTrainer
-
-        trainer = PackedStorageTrainer(
-            model, {"learning_rate": 1e-3}, batch_size=bench.BATCH_SIZE
-        )
-        state, step = trainer._pstate, trainer._packed_step
-    elif args.path == "fused":
+    if args.path == "fused":
         from recman_tpu.training.fused_adam import FusedAdamTrainer
 
         trainer = FusedAdamTrainer(
