@@ -212,26 +212,21 @@ int64_t count_rows_buf(const char* buf, size_t len) {
   return rows;
 }
 
-}  // namespace
-
-extern "C" {
-
-int64_t criteo_count_rows(const char* path, int64_t max_rows) {
-  MappedFile mf = map_file(path);
-  if (!mf.ok) return -1;
-  int64_t rows = mf.len ? count_rows_buf(mf.data, mf.len) : 0;
-  unmap_file(mf);
-  if (max_rows >= 0 && rows > max_rows) rows = max_rows;
-  return rows;
+// skip ``rows`` newline-terminated lines from p (for chunked range reads)
+const char* skip_rows_buf(const char* p, const char* end, int64_t rows) {
+  while (rows > 0 && p < end) {
+    const char* nl = static_cast<const char*>(std::memchr(p, '\n', end - p));
+    if (!nl) return end;
+    p = nl + 1;
+    --rows;
+  }
+  return p;
 }
 
-int64_t criteo_parse(const char* path, int64_t n_rows, int64_t num_buckets,
-                     int32_t n_threads, float* y, float* dense,
-                     int32_t* cats) {
-  MappedFile mf = map_file(path);
-  if (!mf.ok) return -1;
-  const char* buf = mf.data;
-  const size_t len = mf.len;
+int64_t parse_buf(const char* buf, const char* end, int64_t n_rows,
+                  int64_t num_buckets, int32_t n_threads, float* y,
+                  float* dense, int32_t* cats) {
+  const size_t len = static_cast<size_t>(end - buf);
 
   // split at newline boundaries into ~equal byte spans, tracking the
   // starting row index of each span with a serial newline count
@@ -240,7 +235,6 @@ int64_t criteo_parse(const char* path, int64_t n_rows, int64_t num_buckets,
   if (nt < 1) nt = 1;
   std::vector<Span> spans;
   const char* p = buf;
-  const char* end = buf + len;
   int64_t row0 = 0;
   for (int t = 0; t < nt && p < end && row0 < n_rows; ++t) {
     const char* cut = (t == nt - 1) ? end : buf + len * (t + 1) / nt;
@@ -261,8 +255,48 @@ int64_t criteo_parse(const char* path, int64_t n_rows, int64_t num_buckets,
                          static_cast<uint64_t>(num_buckets), y, dense, cats);
   }
   for (auto& w : workers) w.join();
-  unmap_file(mf);
   return row0 < n_rows ? row0 : n_rows;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t criteo_count_rows(const char* path, int64_t max_rows) {
+  MappedFile mf = map_file(path);
+  if (!mf.ok) return -1;
+  int64_t rows = mf.len ? count_rows_buf(mf.data, mf.len) : 0;
+  unmap_file(mf);
+  if (max_rows >= 0 && rows > max_rows) rows = max_rows;
+  return rows;
+}
+
+int64_t criteo_parse(const char* path, int64_t n_rows, int64_t num_buckets,
+                     int32_t n_threads, float* y, float* dense,
+                     int32_t* cats) {
+  MappedFile mf = map_file(path);
+  if (!mf.ok) return -1;
+  int64_t parsed = parse_buf(mf.data, mf.data + mf.len, n_rows, num_buckets,
+                             n_threads, y, dense, cats);
+  unmap_file(mf);
+  return parsed;
+}
+
+// chunked range read for the streaming input pipeline: parse ``n_rows``
+// rows starting at row ``start_row``. The newline skip streams through
+// the page cache (mmap MADV_SEQUENTIAL), so iterating a 45 GB day file
+// chunk by chunk never needs whole-file residency.
+int64_t criteo_parse_range(const char* path, int64_t start_row,
+                           int64_t n_rows, int64_t num_buckets,
+                           int32_t n_threads, float* y, float* dense,
+                           int32_t* cats) {
+  MappedFile mf = map_file(path);
+  if (!mf.ok) return -1;
+  const char* p = skip_rows_buf(mf.data, mf.data + mf.len, start_row);
+  int64_t parsed = parse_buf(p, mf.data + mf.len, n_rows, num_buckets,
+                             n_threads, y, dense, cats);
+  unmap_file(mf);
+  return parsed;
 }
 
 }  // extern "C"

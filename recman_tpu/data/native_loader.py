@@ -81,6 +81,14 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int32),
             ]
+            lib.criteo_parse_range.restype = ctypes.c_int64
+            lib.criteo_parse_range.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
             _lib = lib
     return _lib
 
@@ -117,4 +125,36 @@ def load_criteo_tsv_native(
         out[name] = np.ascontiguousarray(dense[:, j])
     for j, name in enumerate(CAT_NAMES):
         out[name] = np.ascontiguousarray(cats[:, j])
+    return out
+
+
+def load_criteo_tsv_range_native(
+    path, start_row, n_rows, num_buckets, n_threads=0
+) -> dict[str, np.ndarray]:
+    """Parse + encode rows [start_row, start_row + n_rows) of a Criteo TSV
+    (the chunk read behind the streaming input pipeline,
+    data/streaming.py). Returns the same dict shape as
+    load_criteo_tsv_native, possibly shorter at EOF."""
+    from .criteo import CAT_NAMES, INT_NAMES, NUM_CAT_FEATURES, NUM_INT_FEATURES
+
+    lib = get_lib()
+    n = int(n_rows)
+    y = np.empty(n, dtype=np.float32)
+    dense = np.empty((n, NUM_INT_FEATURES), dtype=np.float32)
+    cats = np.empty((n, NUM_CAT_FEATURES), dtype=np.int32)
+    parsed = lib.criteo_parse_range(
+        os.fsencode(path), int(start_row), n, int(num_buckets),
+        int(n_threads),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dense.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cats.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if parsed < 0:
+        raise FileNotFoundError(path)
+    parsed = int(parsed)
+    out = {"y": y[:parsed]}
+    for j, name in enumerate(INT_NAMES):
+        out[name] = np.ascontiguousarray(dense[:parsed, j])
+    for j, name in enumerate(CAT_NAMES):
+        out[name] = np.ascontiguousarray(cats[:parsed, j])
     return out

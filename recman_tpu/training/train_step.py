@@ -98,21 +98,40 @@ def pack_dataset(data: dict) -> tuple[dict, tuple]:
     packed: dict = {}
     layout = []
     cols_by_key = {PACKED_I32: [], PACKED_F32: []}
+    n = None
     for name, arr in data.items():
         arr = np.asarray(arr)
         if name == "y" or arr.ndim > 2:
             packed[name] = arr
             continue
+        n = arr.shape[0]
         key = PACKED_I32 if np.issubdtype(arr.dtype, np.integer) else PACKED_F32
-        col = arr[:, None] if arr.ndim == 1 else arr
-        start = sum(c.shape[1] for c in cols_by_key[key])
-        cols_by_key[key].append(
-            col.astype(np.int32 if key == PACKED_I32 else np.float32)
-        )
-        layout.append((name, key, start, col.shape[1], arr.ndim == 1))
+        width = 1 if arr.ndim == 1 else arr.shape[1]
+        start = sum(w for _, w in cols_by_key[key])
+        cols_by_key[key].append((arr, width))
+        layout.append((name, key, start, width, arr.ndim == 1))
+    # all-1-wide groups go through np.stack (the fastest numpy interleave
+    # measured for this shape: 0.28s vs 0.59s per-column assignment vs
+    # 1.5s concatenate-of-(N,1)-slices on 262k x 26 — this runs per chunk
+    # in the streaming fit path); mixed widths fall back to assignment
     for key, cols in cols_by_key.items():
-        if cols:
-            packed[key] = np.concatenate(cols, axis=1)
+        if not cols:
+            continue
+        dtype = np.int32 if key == PACKED_I32 else np.float32
+        if all(w == 1 for _, w in cols):
+            packed[key] = np.stack(
+                [arr.astype(dtype, copy=False) for arr, _ in cols], axis=1
+            )
+            continue
+        out = np.empty((n, sum(w for _, w in cols)), dtype=dtype)
+        s = 0
+        for arr, w in cols:
+            if arr.ndim == 1:
+                out[:, s] = arr
+            else:
+                out[:, s: s + w] = arr
+            s += w
+        packed[key] = out
     return packed, tuple(layout)
 
 

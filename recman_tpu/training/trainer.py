@@ -154,6 +154,72 @@ class Trainer:
         )
         return loss
 
+    def fit_stream(self, chunks, epochs=None, shuffle_in_chunk=True):
+        """Train over a stream of encoded host chunks with double-buffered
+        host->device transfers (data.streaming iterators are the intended
+        sources). While the device executes chunk c's steps, chunk c+1 is
+        read/packed/transferred — HBM dataset footprint stays bounded by
+        TWO chunks regardless of dataset size (the at-scale generalization
+        of the reference's whole-dataset-resident fit loop,
+        DeepModel.py:141).
+
+        ``chunks``: an iterable of {'name': array, 'y': ...} dicts (one
+        pass), or a zero-arg callable returning a fresh iterator (required
+        when ``epochs`` > 1). Rows shuffle within each chunk per epoch
+        when ``shuffle_in_chunk`` (global shuffles are the chunk source's
+        job, e.g. iter_array_chunks(shuffle_seed=...)). Returns self.
+        """
+        epochs = self.epoch if epochs is None else epochs
+        if not callable(chunks):
+            assert epochs == 1, (
+                "a plain iterator can only be consumed once; pass a "
+                "zero-arg callable for multi-epoch streams"
+            )
+            chunk_iter = chunks
+            chunks = lambda: chunk_iter  # noqa: E731
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        for epoch in range(1, epochs + 1):
+            it = iter(chunks())
+
+            def prepare(c_i):
+                # runs on the prefetch thread: read + pack + DISPATCH the
+                # host->device transfer for the next chunk while the
+                # device executes the current one
+                chunk = next(it, None)
+                if chunk is None:
+                    return None
+                data, layout = self._to_device(chunk, chunk.get("y"))
+                n = int(len(next(iter(chunk.values()))))
+                seed = (self.random_seed + 7919 * epoch + c_i
+                        if shuffle_in_chunk else None)
+                idx = self._batch_index_matrix(n, shuffle_seed=seed)
+                return data, layout, idx
+
+            total, batches, c_i = 0.0, 0, 0
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                cur = prepare(0)
+                while cur is not None:
+                    data, layout, idx = cur
+                    c_i += 1
+                    fut = pool.submit(prepare, c_i)  # overlap IO/pack/copy
+                    losses = [
+                        self.fit_on_batch(data, idx[i], layout)
+                        for i in range(idx.shape[0])
+                    ]
+                    # ONE device->host sync per chunk (a per-step float()
+                    # costs a ~50 ms tunnel round-trip each); it also
+                    # bounds HBM to ~2 live chunks before buffers drop
+                    total += float(sum(losses))
+                    batches += len(losses)
+                    del data, losses
+                    cur = fut.result()
+            log.info("fit_stream epoch %d: %d chunks, %d batches, "
+                     "mean loss %.5f", epoch, c_i, batches,
+                     total / max(batches, 1))
+        return self
+
     def _eval_at_epoch(self, data_train, y_train, X_valid, y_valid, start_time,
                        epoch, layout=()):
         """Per-epoch train/valid metric log (reference DeepModel.py:92-131)."""

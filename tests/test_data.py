@@ -83,3 +83,45 @@ class TestCriteo:
         # deterministic
         data2 = synthetic_criteo_arrays(1000, num_buckets=5000, seed=1)
         np.testing.assert_array_equal(data["C5"], data2["C5"])
+
+    def test_calibrated_generator(self):
+        """calibrated_criteo_arrays: per-field missing rates, realistic
+        base rate, learnable teacher signal (VERDICT r1 #8)."""
+        from recman_tpu.data import calibrated_criteo_arrays
+        from recman_tpu.data.criteo import KAGGLE_CAT_MISSING
+
+        data = calibrated_criteo_arrays(20_000, num_buckets=5000, seed=1)
+        assert set(data) == set(CAT_NAMES) | set(INT_NAMES) | {"y"}
+        # encoded like the real hashed pipeline: ids in [0, buckets]
+        assert data["C3"].min() >= 0 and data["C3"].max() <= 5000
+        # missing rates land near the declared per-field parameters
+        for name, rate in (("C22", KAGGLE_CAT_MISSING[21]),
+                           ("C1", KAGGLE_CAT_MISSING[0])):
+            got = float((data[name] == 0).mean())
+            assert abs(got - rate) < 0.03, (name, got, rate)
+        # CTR-like base rate, not a balanced coin
+        assert 0.2 < data["y"].mean() < 0.4
+        # deterministic
+        data2 = calibrated_criteo_arrays(20_000, num_buckets=5000, seed=1)
+        np.testing.assert_array_equal(data["C7"], data2["C7"])
+        np.testing.assert_array_equal(data["y"], data2["y"])
+        # the teacher signal is learnable: a logistic fit on a few small
+        # hashed fields must beat chance AUC by a clear margin
+        from recman_tpu.training.metrics import RocAucScore
+
+        # per-bucket label means FIT ON THE FIRST HALF must predict the
+        # HELD-OUT half (in-sample means would pass on pure noise by
+        # memorization); sum a few fields' estimates — the teacher signal
+        # is deliberately spread across all 26 fields like real CTR data
+        big = calibrated_criteo_arrays(50_000, num_buckets=5000, seed=1)
+        y = big["y"]
+        h = len(y) // 2
+        comb = np.zeros(len(y))
+        for f in ("C1", "C5", "C7", "C9", "C17", "C20", "C22"):
+            ids = big[f]
+            sums = np.bincount(ids[:h], weights=y[:h], minlength=5001)
+            cnts = np.bincount(ids[:h], minlength=5001)
+            m = np.where(cnts > 4, sums / np.maximum(cnts, 1), y[:h].mean())
+            comb += m[ids]
+        auc = RocAucScore()(y[h:], comb[h:])
+        assert auc > 0.57, auc  # measured 0.60 on this seed
