@@ -144,6 +144,25 @@ def unpack_batch(batch: dict, layout) -> dict:
     return out
 
 
+def _one_step(model, optimizer, state: TrainState, data: dict, idx,
+              layout=()) -> tuple[TrainState, jnp.ndarray]:
+    """One un-jitted SGD step (shared by the jitted single/unrolled steps)."""
+    rng, dropout_rng = jax.random.split(state.rng)
+    batch, weights = gather_batch(data, idx)
+    if layout:
+        batch = unpack_batch(batch, layout)
+
+    def loss_fn(params):
+        return model.loss(
+            params, batch, training=True, rng=dropout_rng, weights=weights
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1, rng), loss
+
+
 def make_train_step(model, optimizer):
     """Build the compiled train step for ``model``; state is donated so
     params/opt-state update in place in HBM. ``layout`` (static) unpacks a
@@ -151,23 +170,31 @@ def make_train_step(model, optimizer):
 
     def step_fn(state: TrainState, data: dict, idx,
                 layout=()) -> tuple[TrainState, jnp.ndarray]:
-        rng, dropout_rng = jax.random.split(state.rng)
-        batch, weights = gather_batch(data, idx)
-        if layout:
-            batch = unpack_batch(batch, layout)
+        return _one_step(model, optimizer, state, data, idx, layout)
 
-        def loss_fn(params):
-            return model.loss(
-                params, batch, training=True, rng=dropout_rng, weights=weights
-            )
+    return jax.jit(step_fn, donate_argnums=(0,), static_argnames=("layout",))
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(params, opt_state, state.step + 1, rng),
-            loss,
-        )
+
+def make_train_step_unrolled(model, optimizer, unroll: int):
+    """``unroll`` consecutive steps in ONE dispatch: (state, data,
+    idx_mat (unroll, B), layout) -> (state, (unroll,) losses).
+
+    Unlike the lax.scan epoch (make_train_epoch — XLA copies the ~550 MB
+    donated carry per scan iteration; NOTES.md dead ends), a statically
+    UNROLLED chain aliases the carry through the whole program, so this
+    only trades dispatch count for graph size. Useful when per-dispatch
+    host latency is visible next to the step time (e.g. remote-dispatch
+    links); semantics are exactly ``unroll`` sequential steps
+    (tests/test_training.py bit-parity)."""
+    assert unroll >= 1
+
+    def step_fn(state: TrainState, data: dict, idx_mat, layout=()):
+        losses = []
+        for i in range(unroll):
+            state, loss = _one_step(model, optimizer, state, data,
+                                    idx_mat[i], layout)
+            losses.append(loss)
+        return state, jnp.stack(losses)
 
     return jax.jit(step_fn, donate_argnums=(0,), static_argnames=("layout",))
 
@@ -185,23 +212,7 @@ def make_train_epoch(model, optimizer):
 
     def epoch_fn(state: TrainState, data: dict, idx_mat, layout=()):
         def body(state, idx):
-            rng, dropout_rng = jax.random.split(state.rng)
-            batch, weights = gather_batch(data, idx)
-            if layout:
-                batch = unpack_batch(batch, layout)
-
-            def loss_fn(params):
-                return model.loss(
-                    params, batch, training=True, rng=dropout_rng,
-                    weights=weights,
-                )
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = optimizer.update(
-                grads, state.opt_state, state.params
-            )
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state, state.step + 1, rng), loss
+            return _one_step(model, optimizer, state, data, idx, layout)
 
         return jax.lax.scan(body, state, idx_mat)
 

@@ -305,3 +305,51 @@ class TestShardedCheckpoint:
         t3.restore(tmp_path / "sharded")
         np.testing.assert_allclose(t3.predict(data), expect, rtol=1e-5,
                                    atol=1e-6)
+
+
+class TestUnrolledStep:
+    def test_unrolled_matches_sequential(self, synthetic_df, synthetic_features):
+        """make_train_step_unrolled(n) == n sequential make_train_step calls
+        (same rng chain, same update math, donated carry aliased)."""
+        import jax
+        import jax.numpy as jnp
+
+        from recman_tpu.models import XDeepFM
+        from recman_tpu.training import create_optimizer, init_state
+        from recman_tpu.training.train_step import (
+            make_train_step,
+            make_train_step_unrolled,
+            pack_dataset,
+        )
+        from recman_tpu.training.trainer import batch_indices
+
+        model = XDeepFM(synthetic_features)
+        data = synthetic_features.transform(
+            synthetic_df, y=synthetic_df["LABEL"].values
+        )
+        data, layout = pack_dataset(data)
+        data = {k: jnp.asarray(v) for k, v in data.items()}
+        idx = batch_indices(len(synthetic_df), 4, shuffle_seed=0)[:4]
+
+        opt = create_optimizer("adam", 0.01)
+        s_seq = init_state(model, opt, jax.random.PRNGKey(0))
+        s_unr = init_state(model, opt, jax.random.PRNGKey(0))
+
+        step = make_train_step(model, opt)
+        step4 = make_train_step_unrolled(model, opt, unroll=4)
+
+        losses_seq = []
+        for i in range(4):
+            s_seq, loss = step(s_seq, data, jnp.asarray(idx[i]), layout)
+            losses_seq.append(float(loss))
+        s_unr, losses_unr = step4(s_unr, data, jnp.asarray(idx), layout)
+
+        np.testing.assert_allclose(losses_seq, np.asarray(losses_unr),
+                                   rtol=1e-6)
+        assert int(s_unr.step) == int(s_seq.step) == 4
+        for name in s_seq.params:
+            np.testing.assert_allclose(
+                np.asarray(s_seq.params[name]),
+                np.asarray(s_unr.params[name]),
+                rtol=1e-6, atol=1e-7, err_msg=name,
+            )
