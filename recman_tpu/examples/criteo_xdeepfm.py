@@ -25,7 +25,8 @@ log = logging.getLogger(__name__)
 
 
 def main(tsv=None, rows=200_000, num_buckets=100_000, epoch=1, batch_size=4096,
-         learning_rate=0.001, embedding_size=16, native=True):
+         learning_rate=0.001, embedding_size=16, native=True,
+         optimizer="adam"):
     recman_tpu.config_logger()
     feat_dict = create_criteo_features(num_buckets=num_buckets)
 
@@ -57,7 +58,7 @@ def main(tsv=None, rows=200_000, num_buckets=100_000, epoch=1, batch_size=4096,
 
     hp = {
         "learning_rate": learning_rate,
-        "optimizer": "adam",
+        "optimizer": optimizer,  # "rowwise_adam" = the DLRM-style recipe
         "embedding_size": embedding_size,
         "cin_cross_layer_units": (100, 100),
         "cin_dropout": (1, 1, 1),
@@ -85,7 +86,9 @@ if __name__ == "__main__":
     ap.add_argument("--batch-size", type=int, default=4096)
     ap.add_argument("--no-native", action="store_true",
                     help="force the pandas TSV path")
+    ap.add_argument("--optimizer", default="adam",
+                    help="adam | rowwise_adam | adagrad | lamb | ...")
     args = ap.parse_args()
     main(tsv=args.tsv, rows=args.rows, num_buckets=args.buckets,
          epoch=args.epoch, batch_size=args.batch_size,
-         native=not args.no_native)
+         native=not args.no_native, optimizer=args.optimizer)

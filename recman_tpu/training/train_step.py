@@ -34,6 +34,14 @@ def create_optimizer(optimizer, learning_rate, **kwargs) -> optax.GradientTransf
     name = optimizer.lower()
     if name == "adam":
         return optax.adam(learning_rate, **kwargs)
+    if name == "adam_bf16m":
+        # adam with the first moment STORED in bfloat16: ~2 fewer f32
+        # passes over every param-shaped state array per step (measured
+        # -0.44 ms on the bench config — BASELINE.md dispatch study).
+        # Trajectories differ from f32 adam in the last bits; quality
+        # gates recorded in BASELINE.md before it became the bench
+        # default.
+        return optax.adam(learning_rate, mu_dtype=jnp.bfloat16, **kwargs)
     if name == "adagrad":
         return optax.adagrad(learning_rate, **kwargs)
     if name in ("gd", "sgd"):
@@ -42,6 +50,10 @@ def create_optimizer(optimizer, learning_rate, **kwargs) -> optax.GradientTransf
         return optax.sgd(learning_rate, momentum=kwargs.pop("momentum", 0.9), **kwargs)
     if name == "lamb":
         return optax.lamb(learning_rate, **kwargs)
+    if name == "rowwise_adam":
+        from .rowwise_adam import rowwise_adam
+
+        return rowwise_adam(learning_rate, **kwargs)
     raise ValueError(f"unknown optimizer {optimizer!r}")
 
 

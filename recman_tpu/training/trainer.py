@@ -72,6 +72,7 @@ class Trainer:
         random_seed=2019,
         eval_in_training_mode=False,
         epoch_in_one_dispatch=False,
+        steps_per_dispatch=1,
     ):
         hp = hparams or {}
         self.model = model
@@ -82,6 +83,13 @@ class Trainer:
         self.random_seed = random_seed
         self.eval_in_training_mode = eval_in_training_mode
         self.epoch_in_one_dispatch = epoch_in_one_dispatch
+        # >1: group consecutive steps into one dispatch
+        # (make_train_step_unrolled — donated carry aliased through the
+        # unrolled chain; bit-identical to the per-step loop). Amortizes
+        # per-dispatch host latency: ~0.76 ms/step through this machine's
+        # tunnel, measured in BASELINE.md's dispatch study.
+        self.steps_per_dispatch = int(steps_per_dispatch)
+        self._train_step_unrolled = None  # built on first use
 
         self.optimizer = create_optimizer(
             hp.get(BaseHyperParameters.Optimizer, "adam"),
@@ -338,6 +346,28 @@ class Trainer:
                     self.state, data, jnp.asarray(idx), layout
                 )
                 mean_loss = float(jnp.mean(losses))
+            elif tb_logger is None and self.steps_per_dispatch > 1:
+                # grouped dispatches; the non-divisible tail runs through
+                # the per-step path, preserving exact step-count/rng parity
+                u = self.steps_per_dispatch
+                if self._train_step_unrolled is None:
+                    from .train_step import make_train_step_unrolled
+
+                    self._train_step_unrolled = make_train_step_unrolled(
+                        self.model, self.optimizer, u
+                    )
+                losses = []
+                full = (idx.shape[0] // u) * u
+                for s in range(0, full, u):
+                    self.state, lvec = self._train_step_unrolled(
+                        self.state, data, jnp.asarray(idx[s : s + u]), layout
+                    )
+                    losses.append(lvec)
+                for i in range(full, idx.shape[0]):
+                    losses.append(self.fit_on_batch(data, idx[i], layout))
+                mean_loss = float(np.mean(np.concatenate(
+                    [np.atleast_1d(np.asarray(l)) for l in losses]
+                )))
             else:
                 losses = []
                 for i in range(idx.shape[0]):

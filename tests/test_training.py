@@ -353,3 +353,127 @@ class TestUnrolledStep:
                 np.asarray(s_unr.params[name]),
                 rtol=1e-6, atol=1e-7, err_msg=name,
             )
+
+
+class TestRowwiseAdam:
+    """rowwise_adam: tables get rowwise-v/bf16-m scaling, everything else
+    exact optax.adam."""
+
+    def _grads_params(self, seed=0):
+        import jax.numpy as jnp
+
+        rs = np.random.RandomState(seed)
+        params = {
+            "U_feat_embed": jnp.asarray(rs.randn(6, 4), dtype=jnp.float32),
+            "dnn_layer_0_weights": jnp.asarray(rs.randn(4, 3),
+                                               dtype=jnp.float32),
+            "linear_w": jnp.asarray(rs.randn(7), dtype=jnp.float32),
+        }
+        grads = [
+            {k: jnp.asarray(rs.randn(*v.shape), dtype=jnp.float32)
+             for k, v in params.items()}
+            for _ in range(3)
+        ]
+        return params, grads
+
+    def test_rest_params_match_plain_adam(self):
+        import optax
+
+        from recman_tpu.training.rowwise_adam import rowwise_adam
+
+        params, grads = self._grads_params()
+        opt_r = rowwise_adam(0.01)
+        opt_a = optax.adam(0.01)
+        s_r, s_a = opt_r.init(params), opt_a.init(params)
+        p_r = p_a = params
+        for g in grads:
+            u_r, s_r = opt_r.update(g, s_r, p_r)
+            u_a, s_a = opt_a.update(g, s_a, p_a)
+            p_r = optax.apply_updates(p_r, u_r)
+            p_a = optax.apply_updates(p_a, u_a)
+        for name in ("dnn_layer_0_weights", "linear_w"):
+            np.testing.assert_allclose(np.asarray(p_r[name]),
+                                       np.asarray(p_a[name]),
+                                       rtol=1e-6, err_msg=name)
+        # the table diverges from plain adam (rowwise denominator)
+        assert not np.allclose(np.asarray(p_r["U_feat_embed"]),
+                               np.asarray(p_a["U_feat_embed"]))
+
+    def test_table_math_matches_numpy_reference(self):
+        import optax
+
+        from recman_tpu.training.rowwise_adam import rowwise_adam
+
+        params, grads = self._grads_params(seed=3)
+        opt = rowwise_adam(0.01, mu_dtype=None)  # f32 m for exact compare
+        state = opt.init(params)
+        p = params
+        b1, b2, eps, lr = 0.9, 0.999, 1e-8, 0.01
+
+        w = np.asarray(params["U_feat_embed"], dtype=np.float64)
+        m = np.zeros_like(w)
+        v = np.zeros(w.shape[0])
+        for t, g_tree in enumerate(grads, start=1):
+            u, state = opt.update(g_tree, state, p)
+            p = optax.apply_updates(p, u)
+            g = np.asarray(g_tree["U_feat_embed"], dtype=np.float64)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * (g ** 2).mean(axis=1)
+            m_hat = m / (1 - b1 ** t)
+            v_hat = v / (1 - b2 ** t)
+            w = w - lr * m_hat / (np.sqrt(v_hat)[:, None] + eps)
+        np.testing.assert_allclose(np.asarray(p["U_feat_embed"]), w,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_state_shapes_and_dtypes(self):
+        import jax.numpy as jnp
+
+        from recman_tpu.training.rowwise_adam import rowwise_adam
+
+        params, grads = self._grads_params()
+        opt = rowwise_adam(0.01)
+        state = opt.init(params)
+        inner = state.inner_states["table"].inner_state[0]
+        assert inner.mu["U_feat_embed"].dtype == jnp.bfloat16
+        assert inner.nu["U_feat_embed"].shape == (6,)
+        opt.update(grads[0], state, params)  # runs
+
+    def test_trains_end_to_end(self, synthetic_df, synthetic_features):
+        from recman_tpu.models import XDeepFM
+        from recman_tpu.training import LogLoss
+
+        model = XDeepFM(synthetic_features)
+        trainer = Trainer(
+            model, {"learning_rate": 0.02, "optimizer": "rowwise_adam"},
+            metrics=(LogLoss(),), epoch=4, batch_size=16, random_seed=2019,
+        )
+        y = synthetic_df["LABEL"].values
+        before = trainer.evaluate(synthetic_df, y)[0]
+        trainer.fit(synthetic_df, y, random_seed_for_mini_batch=False)
+        assert trainer.evaluate(synthetic_df, y)[0] < before
+
+
+class TestStepsPerDispatch:
+    def test_grouped_dispatch_matches_per_step(self, synthetic_df,
+                                               synthetic_features):
+        """Trainer(steps_per_dispatch=3) == per-step loop, including the
+        non-divisible tail (16 rows / batch 4 -> 5 steps = one 3-pack + 2
+        tail steps)."""
+        df = synthetic_df
+        y = df["LABEL"].values
+        hp = {BaseHyperParameters.LearningRate: 0.01}
+        model = XDeepFM(synthetic_features, xDeepFMHyperParams().defaults())
+        t_loop = Trainer(model, hp, metrics=(LogLoss(),), epoch=2,
+                         batch_size=4, random_seed=2019)
+        t_grp = Trainer(model, hp, metrics=(LogLoss(),), epoch=2,
+                        batch_size=4, random_seed=2019,
+                        steps_per_dispatch=3)
+        t_loop.fit(df, y, random_seed_for_mini_batch=False)
+        t_grp.fit(df, y, random_seed_for_mini_batch=False)
+        assert int(t_grp.state.step) == int(t_loop.state.step)
+        for name in t_loop.state.params:
+            np.testing.assert_allclose(
+                np.asarray(t_loop.state.params[name]),
+                np.asarray(t_grp.state.params[name]),
+                rtol=1e-5, atol=1e-6, err_msg=name,
+            )
