@@ -318,6 +318,8 @@ class ShardedTrainer(Trainer):
         self.eval_in_training_mode = eval_in_training_mode
         self.epoch_in_one_dispatch = False  # see Trainer.fit: scan carry
         # copies make it slower on TPU; opt in by setting the attribute
+        self.steps_per_dispatch = 1  # grouped dispatch is a single-shard
+        self._train_step_unrolled = None  # optimization (Trainer.fit)
 
         from ..config import BaseHyperParameters
 
