@@ -228,6 +228,60 @@ class Trainer:
                      total / max(batches, 1))
         return self
 
+    def predict_stream(self, chunks, training=False):
+        """Batched forward over a stream of encoded host chunks — the
+        beyond-HBM counterpart of ``predict`` (same double-buffered
+        overlap as fit_stream; device holds <= 2 chunks). ``chunks`` is
+        an iterable of encoded dicts ('y' allowed and ignored). Returns
+        the (N,) prediction array in stream order.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        it = iter(chunks() if callable(chunks) else chunks)
+        override = None if training else self._override()
+
+        def prepare():
+            chunk = next(it, None)
+            if chunk is None:
+                return None
+            n = int(len(next(iter(chunk.values()))))
+            data, layout = self._to_device(
+                {k: v for k, v in chunk.items() if k != "y"}
+            )
+            idx = self._batch_index_matrix(n)
+            return data, layout, idx, n
+
+        out = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            cur = prepare()
+            while cur is not None:
+                data, layout, idx, n = cur
+                fut = pool.submit(prepare)
+                preds = self._eval_scan(
+                    self.state.params, data, jnp.asarray(idx), override,
+                    training, layout,
+                )
+                out.append(self._unshard_preds(np.asarray(preds), n))
+                del data, preds
+                cur = fut.result()
+        return np.concatenate(out) if out else np.zeros((0,), np.float32)
+
+    def evaluate_stream(self, chunks, training=False):
+        """[metric(y, pred)] over a chunk stream; chunks must carry 'y'.
+        Streams predictions with predict_stream-style overlap while
+        collecting labels chunk by chunk."""
+        ys, ps = [], []
+        it = iter(chunks() if callable(chunks) else chunks)
+
+        def one_chunk_iter():
+            for chunk in it:
+                ys.append(np.asarray(chunk["y"], dtype=np.float32))
+                yield chunk
+
+        ps = self.predict_stream(one_chunk_iter(), training=training)
+        y = np.concatenate(ys) if ys else np.zeros((0,), np.float32)
+        return [metric(y, ps) for metric in self.metrics]
+
     def _eval_at_epoch(self, data_train, y_train, X_valid, y_valid, start_time,
                        epoch, layout=()):
         """Per-epoch train/valid metric log (reference DeepModel.py:92-131)."""

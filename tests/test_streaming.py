@@ -140,3 +140,48 @@ class TestCriteoChunkStream:
         chunks = list(iter_criteo_chunks(path, 1000, chunk_rows=32,
                                          max_rows=70))
         assert sum(len(c["y"]) for c in chunks) == 70
+
+
+class TestPredictStream:
+    def _trainer_and_data(self):
+        import jax.numpy as jnp  # noqa: F401
+
+        from recman_tpu.data.criteo import (
+            calibrated_criteo_arrays,
+            create_criteo_features,
+        )
+        from recman_tpu.models import XDeepFM
+        from recman_tpu.training import LogLoss, RocAucScore, Trainer
+
+        fs = create_criteo_features(num_buckets=64)
+        arrs = calibrated_criteo_arrays(1024, num_buckets=64, seed=1)
+        model = XDeepFM(fs, {
+            "embedding_size": 4, "cin_cross_layer_units": (8,),
+            "cin_dropout": (1, 1), "deep_hidden_units": (16,),
+            "deep_dropout": (1.0, 1.0),
+        })
+        tr = Trainer(model, {"learning_rate": 1e-3}, batch_size=128,
+                     metrics=(LogLoss(), RocAucScore()), epoch=1)
+        tr.fit(arrs, arrs["y"], random_seed_for_mini_batch=False)
+        return tr, arrs
+
+    def test_predict_stream_matches_resident_predict(self):
+        from recman_tpu.data.streaming import iter_array_chunks
+
+        tr, arrs = self._trainer_and_data()
+        X = {k: v for k, v in arrs.items() if k != "y"}
+        resident = tr.predict(X)
+        streamed = tr.predict_stream(iter_array_chunks(arrs, 300))
+        np.testing.assert_allclose(streamed, resident, rtol=1e-5, atol=1e-6)
+
+    def test_evaluate_stream_matches_resident(self):
+        from recman_tpu.data.streaming import iter_array_chunks
+
+        tr, arrs = self._trainer_and_data()
+        res_resident = tr.evaluate(
+            {k: v for k, v in arrs.items() if k != "y"}, arrs["y"]
+        )
+        res_stream = tr.evaluate_stream(
+            lambda: iter_array_chunks(arrs, 300)
+        )
+        np.testing.assert_allclose(res_stream, res_resident, rtol=1e-5)
