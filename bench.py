@@ -163,30 +163,53 @@ def main(fused=None):
 
         state = fstate
     else:
+        from recman_tpu.training.train_step import make_train_step_unrolled
+
         state = init_state(model, optimizer, jax.random.PRNGKey(0))
-        step = make_train_step(model, optimizer)
+        # UNROLL consecutive steps per dispatch: bit-identical to the
+        # per-step loop (tests/test_training.py parity) and amortizes the
+        # ~0.76 ms/step per-dispatch host latency of this machine's
+        # tunnel to ~0.19 ms (BASELINE.md dispatch study, 2026-08-20:
+        # u1 15.56 -> u4 15.04 ms/step same-session). An UNROLLED chain
+        # aliases the donated carry; a lax.scan-of-steps epoch instead
+        # COPIES the ~550 MB carry per iteration (measured 2x slower —
+        # NOTES.md dead ends).
+        UNROLL = 4
+        step_u = make_train_step_unrolled(model, optimizer, UNROLL)
 
     idx_mat = batch_indices(N_ROWS, BATCH_SIZE, shuffle_seed=0)
     idx_mat = idx_mat[(idx_mat >= 0).all(axis=1)]  # full batches only
     idx = [jnp.asarray(row) for row in idx_mat]
 
-    # per-step dispatch, async-pipelined — measured FASTER than a
-    # lax.scan-of-steps epoch (535k vs 273k ex/s: XLA copies the ~550 MB
-    # params+opt-state carry per scan iteration instead of aliasing it;
-    # NOTES.md dead ends)
-    for i in range(WARMUP_STEPS):
-        state, loss = step(state, data, idx[i % len(idx)], layout)
-    float(loss)  # device->host transfer: a real sync (block_until_ready is
-    # a no-op on the tunneled axon platform — see .claude/skills/verify)
+    if fused:
+        for i in range(WARMUP_STEPS):
+            state, loss = step(state, data, idx[i % len(idx)], layout)
+        float(loss)  # device->host transfer: a real sync
+        # (block_until_ready is a no-op on the tunneled axon platform)
+        t0 = time.perf_counter()
+        for i in range(MEASURE_STEPS):
+            state, loss = step(state, data, idx[i % len(idx)], layout)
+        float(loss)
+        elapsed = time.perf_counter() - t0
+        measured_steps = MEASURE_STEPS
+    else:
+        packs = [
+            jnp.asarray(idx_mat[(i * UNROLL) % len(idx_mat):][:UNROLL])
+            for i in range(len(idx_mat) // UNROLL)
+        ]
+        for i in range(max(WARMUP_STEPS // UNROLL, 2)):
+            state, losses = step_u(state, data, packs[i % len(packs)], layout)
+        float(losses[-1])
+        n_dispatch = MEASURE_STEPS // UNROLL
+        t0 = time.perf_counter()
+        for i in range(n_dispatch):
+            state, losses = step_u(state, data, packs[i % len(packs)], layout)
+        float(losses[-1])
+        elapsed = time.perf_counter() - t0
+        measured_steps = n_dispatch * UNROLL
 
-    t0 = time.perf_counter()
-    for i in range(MEASURE_STEPS):
-        state, loss = step(state, data, idx[i % len(idx)], layout)
-    float(loss)
-    elapsed = time.perf_counter() - t0
-
-    examples_per_sec = MEASURE_STEPS * BATCH_SIZE / elapsed
-    sec_per_step = elapsed / MEASURE_STEPS
+    examples_per_sec = measured_steps * BATCH_SIZE / elapsed
+    sec_per_step = elapsed / measured_steps
     flops, hbm_bytes = step_cost_model()
     print(
         json.dumps(

@@ -1,7 +1,9 @@
 from .hparams import (
     AFMHyperParams,
+    AutoIntHyperParams,
     BaseHyperParameters,
     DCNHyperParams,
+    DCNv2HyperParams,
     DINHyperParams,
     DeepFMHyperParams,
     FMHyperParams,
@@ -11,8 +13,10 @@ from .hparams import (
 
 __all__ = [
     "AFMHyperParams",
+    "AutoIntHyperParams",
     "BaseHyperParameters",
     "DCNHyperParams",
+    "DCNv2HyperParams",
     "DINHyperParams",
     "DeepFMHyperParams",
     "FMHyperParams",

@@ -189,6 +189,72 @@ class DCNHyperParams(BaseHyperParameters):
         self.add_param(self.CrossLayerL2Reg, 0.0)
 
 
+class DCNv2HyperParams(BaseHyperParameters):
+    """DCN-V2 config (arXiv:2008.13535; beyond-reference model)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    LinearL2Reg = "linear_l2_reg"
+    LinearFeatures = "linear_features"
+    UseLinear = "use_linear"
+    DeepHiddenUnits = "deep_hidden_units"
+    DeepDropOut = "deep_dropout"
+    DeepActivation = "deep_activation"
+    DeepL2Reg = "deep_l2_reg"
+    CrossLayerNum = "cross_layer_num"
+    CrossLayerL2Reg = "cross_layer_l2_reg"
+    CrossRank = "cross_rank"  # None = full-rank (d, d) layers
+    CrossNumExperts = "cross_num_experts"  # >1 = mixture of low-rank experts
+    Structure = "structure"  # "stacked" | "parallel"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.LinearL2Reg, 0.00001)
+        self.add_param(self.LinearFeatures, ())
+        self.add_param(self.UseLinear, True)
+        self.add_param(self.DeepHiddenUnits, (32, 32))
+        self.add_param(self.DeepDropOut, (1.0, 1.0, 1.0))
+        self.add_param(self.DeepActivation, "relu")
+        self.add_param(self.DeepL2Reg, 0.0)
+        self.add_param(self.CrossLayerNum, 3)
+        self.add_param(self.CrossLayerL2Reg, 0.0)
+        self.add_param(self.CrossRank, None)
+        self.add_param(self.CrossNumExperts, 1)
+        self.add_param(self.Structure, "parallel")
+
+
+class AutoIntHyperParams(BaseHyperParameters):
+    """AutoInt config (arXiv:1810.11921; beyond-reference model)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    LinearL2Reg = "linear_l2_reg"
+    LinearFeatures = "linear_features"
+    UseLinear = "use_linear"
+    AttLayerNum = "att_layer_num"
+    AttHeadNum = "att_head_num"
+    AttHeadSize = "att_head_size"
+    AttUseResidual = "att_use_residual"
+    AttL2Reg = "att_l2_reg"
+    AttDropOut = "att_dropout"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.LinearL2Reg, 0.00001)
+        self.add_param(self.LinearFeatures, ())
+        self.add_param(self.UseLinear, True)
+        self.add_param(self.AttLayerNum, 3)
+        self.add_param(self.AttHeadNum, 2)
+        self.add_param(self.AttHeadSize, 8)
+        self.add_param(self.AttUseResidual, True)
+        self.add_param(self.AttL2Reg, 0.0)
+        self.add_param(self.AttDropOut, 1.0)
+
+
 class AFMHyperParams(BaseHyperParameters):
     """AFM config (capability spec from the stale reference AFM.py:20-60)."""
 

@@ -3,6 +3,8 @@ from .batchnorm import BatchNormalization
 from .cin import CIN
 from .common import ACTIVATIONS, dice, dropout, leaky_relu, resolve_activation, split_rng
 from .cross import CrossNet
+from .cross_v2 import CrossNetV2
+from .autoint import InteractingLayer
 from .din_attention import ASPLayer
 from .dnn import DNN, dnn_combine
 from .embedding import EmbeddingLayer, sqrtn_combine
@@ -17,6 +19,8 @@ __all__ = [
     "ASPLayer",
     "CIN",
     "CrossNet",
+    "CrossNetV2",
+    "InteractingLayer",
     "DNN",
     "EmbeddingLayer",
     "FMLayer",

@@ -118,3 +118,69 @@ class TestMisc:
         # inference uses EMA stats deterministically
         out_inf, state2 = bn.apply(params, state, x[:8], training=False)
         assert state2 is state
+
+
+class TestBeyondReferenceZoo:
+    """DCN-V2 and AutoInt (beyond-reference models, arXiv:2008.13535 /
+    1810.11921): learn on synthetic data in every structural variant."""
+
+    @pytest.mark.parametrize("hp", [
+        {"structure": "parallel"},                       # full-rank
+        {"structure": "parallel", "cross_rank": 4},      # low-rank
+        {"structure": "parallel", "cross_rank": 4, "cross_num_experts": 2},
+        {"structure": "stacked", "cross_rank": 4},
+    ])
+    def test_dcn_v2_learns(self, hp, synthetic_df, synthetic_features):
+        from recman_tpu.models import DCNv2
+
+        model = DCNv2(synthetic_features, hp)
+        trainer = Trainer(
+            model, {"learning_rate": 0.05, "optimizer": "adam"},
+            metrics=(LogLoss(),), epoch=5, batch_size=16, random_seed=2019,
+        )
+        y = synthetic_df["LABEL"].values
+        before = trainer.evaluate(synthetic_df, y)[0]
+        trainer.fit(synthetic_df, y, random_seed_for_mini_batch=False)
+        assert trainer.evaluate(synthetic_df, y)[0] < before
+
+    def test_autoint_learns(self, synthetic_df, synthetic_features):
+        from recman_tpu.models import AutoInt
+
+        model = AutoInt(synthetic_features, {"att_layer_num": 2})
+        trainer = Trainer(
+            model, {"learning_rate": 0.05, "optimizer": "adam"},
+            metrics=(LogLoss(),), epoch=5, batch_size=16, random_seed=2019,
+        )
+        y = synthetic_df["LABEL"].values
+        before = trainer.evaluate(synthetic_df, y)[0]
+        trainer.fit(synthetic_df, y, random_seed_for_mini_batch=False)
+        assert trainer.evaluate(synthetic_df, y)[0] < before
+
+    def test_cross_v2_low_rank_shapes_and_head(self):
+        import jax.numpy as jnp
+
+        from recman_tpu.layers import CrossNetV2
+
+        layer = CrossNetV2(input_dim=6, num_layers=2, rank=3, num_experts=2)
+        params = layer.init(jax.random.PRNGKey(0))
+        assert params["cross_v2_u_0_1"].shape == (6, 3)
+        assert params["cross_v2_gate_1"].shape == (6, 2)
+        x = jnp.ones((4, 6))
+        out = layer.apply(params, x)
+        assert out.shape == (4, 1)
+        feats = layer.features(params, x)
+        assert feats.shape == (4, 6)
+
+    def test_autoint_attention_shapes(self):
+        import jax.numpy as jnp
+
+        from recman_tpu.layers import InteractingLayer
+
+        layer = InteractingLayer(input_dim=8, num_layers=2, num_heads=2,
+                                 head_size=4)
+        params = layer.init(jax.random.PRNGKey(0))
+        out = layer.apply(params, jnp.ones((3, 5, 8)), training=False)
+        assert out.shape == (3, 5, 8)  # H*dh = 8
+
+    def test_registry_contains_new_models(self):
+        assert "dcn_v2" in MODEL_REGISTRY and "autoint" in MODEL_REGISTRY
