@@ -101,24 +101,27 @@ class CIN:
         xkt = x0t
         finals = []
 
-        def interact(x0t, xkt, w):
-            return cin_interact(x0t, xkt, w, dtype=self.compute_dtype)
+        def layer_fn(x0t, xkt, w, bias, rng_i, keep):
+            pre = cin_interact(x0t, xkt, w, dtype=self.compute_dtype) + bias
+            return dropout(rng_i, self.activation(pre), keep, training)
 
         if self.remat:
-            # rematerialize z in the backward instead of keeping layer
-            # activations: trades ~2x CIN recompute for O(B*D*X) memory —
-            # the enabler for 128k+ batches on a 16 GB chip
+            # rematerialize the WHOLE layer (z + activation + dropout) in
+            # the backward instead of keeping its activations: trades
+            # ~2x CIN recompute for O(B*D) layer memory — the enabler
+            # for 128k+ batches on a 16 GB chip (the remat boundary must
+            # cover the (B, D, size) fmap, not just the interaction —
+            # measured: kernel-only remat saves nothing, BASELINE.md)
             import jax
 
-            interact = jax.checkpoint(interact)
+            layer_fn = jax.checkpoint(layer_fn, static_argnums=(5,))
 
         for i, size in enumerate(self.cross_layer_units):
-            pre = (
-                interact(x0t, xkt, params[f"{self.prefix}cin_filter_{i}"])
-                + params[f"{self.prefix}cin_bias_{i}"]
+            fmap = layer_fn(
+                x0t, xkt, params[f"{self.prefix}cin_filter_{i}"],
+                params[f"{self.prefix}cin_bias_{i}"], rngs[i + 1],
+                self.dropout_keep[i + 1],
             )  # (B, D, size)
-            fmap = self.activation(pre)
-            fmap = dropout(rngs[i + 1], fmap, self.dropout_keep[i + 1], training)
 
             if i != len(self.cross_layer_units) - 1:
                 xkt = fmap[:, :, : size // 2]
@@ -145,19 +148,22 @@ class CIN:
         xkc = x0c
         finals = []
 
-        interact = cin_interact_fm
+        def layer_fn(x0c, xkc, w, bias, rng_i, keep):
+            pre = cin_interact_fm(x0c, xkc, w) + bias[:, None]
+            return dropout(rng_i, self.activation(pre), keep, training)
+
         if self.remat:
             import jax
 
-            interact = jax.checkpoint(interact)
+            # full-layer remat (see _apply_batch_major)
+            layer_fn = jax.checkpoint(layer_fn, static_argnums=(5,))
 
         for i, size in enumerate(self.cross_layer_units):
-            pre = (
-                interact(x0c, xkc, params[f"{self.prefix}cin_filter_{i}"])
-                + params[f"{self.prefix}cin_bias_{i}"][:, None]
+            fmap = layer_fn(
+                x0c, xkc, params[f"{self.prefix}cin_filter_{i}"],
+                params[f"{self.prefix}cin_bias_{i}"], rngs[i + 1],
+                self.dropout_keep[i + 1],
             )  # (size, B*D)
-            fmap = self.activation(pre)
-            fmap = dropout(rngs[i + 1], fmap, self.dropout_keep[i + 1], training)
 
             if i != len(self.cross_layer_units) - 1:
                 xkc = fmap[: size // 2]

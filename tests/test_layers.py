@@ -342,3 +342,38 @@ class TestDropoutAndPrediction:
         b = jnp.ones((2,))
         out = dnn_combine([a, b])
         assert out.shape == (2, 13)
+
+
+class TestCinRemat:
+    def test_full_layer_remat_is_exact(self):
+        """remat=True rebuilds each CIN layer in the backward; values AND
+        grads must be bit-comparable to remat=False (same rng chain,
+        dropout included)."""
+        import jax
+        import jax.numpy as jnp
+
+        from recman_tpu.layers import CIN
+
+        rs = np.random.RandomState(0)
+        B, H0, D = 8, 5, 4
+        x = jnp.asarray(rs.randn(B, H0, D), dtype=jnp.float32)
+
+        def build(remat):
+            return CIN(field_size=H0, cross_layer_units=(6, 4),
+                       activation="relu", dropout_keep=(0.8, 0.9, 1.0),
+                       compute_dtype="float32", remat=remat)
+
+        cin_a, cin_b = build(False), build(True)
+        params = cin_a.init(jax.random.PRNGKey(0))
+        rng = jax.random.PRNGKey(3)
+
+        def loss(p, layer):
+            return jnp.sum(layer.apply(p, x, training=True, rng=rng) ** 2)
+
+        va, ga = jax.value_and_grad(loss)(params, cin_a)
+        vb, gb = jax.value_and_grad(loss)(params, cin_b)
+        np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
+        for name in ga:
+            np.testing.assert_allclose(np.asarray(ga[name]),
+                                       np.asarray(gb[name]),
+                                       rtol=1e-5, atol=1e-7, err_msg=name)
