@@ -68,12 +68,23 @@ class XDeepFM(Model):
     def apply(self, params, batch, training=True, rng=None, linear_override=None):
         r_cin, r_dnn = split_rng(rng, 2)
 
-        feat_embeds, _, linear_logit = self.packed.apply(
-            params, batch, training=training, override=linear_override
-        )  # one gather/scatter per feature for table + linear slice
-        cin_logit = self.cin.apply(params, feat_embeds, training=training, rng=r_cin)
-        dnn_input = dnn_combine([feat_embeds] + self.dense_columns(batch))
-        dnn_logit = self.dnn.apply(params, dnn_input, training=training, rng=r_dnn)
+        import jax
+
+        # named scopes label HLO metadata so profiler traces attribute
+        # ops to towers (SURVEY.md par-tower trace annotations)
+        with jax.named_scope("packed_lookup"):
+            feat_embeds, _, linear_logit = self.packed.apply(
+                params, batch, training=training, override=linear_override
+            )  # one gather/scatter per feature for table + linear slice
+        with jax.named_scope("cin_tower"):
+            cin_logit = self.cin.apply(
+                params, feat_embeds, training=training, rng=r_cin
+            )
+        with jax.named_scope("dnn_tower"):
+            dnn_input = dnn_combine([feat_embeds] + self.dense_columns(batch))
+            dnn_logit = self.dnn.apply(
+                params, dnn_input, training=training, rng=r_dnn
+            )
 
         final_logit = linear_logit + cin_logit + dnn_logit  # xDeepFM.py:99-102
         return self.head.apply(params, final_logit)

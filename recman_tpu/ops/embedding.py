@@ -267,25 +267,40 @@ def _lookup_multi_fwd(tables, ids_tuple):
     return _lookup_multi(tables, ids_tuple), (ids_tuple, tables[0].shape)
 
 
+# Above this row count the cotangent permute runs per-table: the batched
+# (T, N, k) take_along_axis exists to amortize small-N op overheads
+# (26 separate sort+permutes cost ~4.3 ms at N=8192), but at N=65536 XLA
+# lays the batched gather out column-major behind a dynamic-update-slice
+# and it explodes to 50.4 ms/step (profiled 2026-08-20, TPU v5e — 30 vs
+# 5.7 ns/row); 26 clean 2-D gathers stay linear. The batched SORT is
+# cheap at every size and stays.
+PERMUTE_BATCHED_MAX_N = 32_768
+
+
 def _lookup_multi_bwd(res, gs):
-    """Backward with BATCHED sort + permute across tables.
+    """Backward with BATCHED sort + (size-dependent) permute across tables.
 
     The sorted-scatter grad needs a sort and a permutation gather per
     table; as separate ops those are ~4.3 ms across 26 Criteo tables
     (vs ~4 ms for the scatters themselves). Stacking same-shape tables'
     ids/cotangents turns 26 sorts + 26 gathers into ONE batched sort and
     ONE take_along_axis; the scatters stay per-table so each keeps its
-    indices_are_sorted fast path.
+    indices_are_sorted fast path. Past PERMUTE_BATCHED_MAX_N rows the
+    permute gathers run per-table (see the constant's rationale).
     """
     ids_tuple, (vocab_size, k) = res
     t = len(ids_tuple)
     n = ids_tuple[0].shape[0]
 
     ids_mat = jnp.stack([i.astype(jnp.int32) for i in ids_tuple])  # (T, N)
-    g_mat = jnp.stack(gs)  # (T, N, k)
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (t, n))
     sids, order = jax.lax.sort_key_val(ids_mat, iota, dimension=1)
-    sg = jnp.take_along_axis(g_mat, order[:, :, None], axis=1)
+    if n > PERMUTE_BATCHED_MAX_N:
+        sg_rows = [jnp.take(g, order[i], axis=0) for i, g in enumerate(gs)]
+    else:
+        g_mat = jnp.stack(gs)  # (T, N, k)
+        sg = jnp.take_along_axis(g_mat, order[:, :, None], axis=1)
+        sg_rows = [sg[i] for i in range(t)]
 
     dnums = jax.lax.ScatterDimensionNumbers(
         update_window_dims=(1,),
@@ -294,9 +309,9 @@ def _lookup_multi_bwd(res, gs):
     )
     grads = tuple(
         jax.lax.scatter_add(
-            jnp.zeros((vocab_size, k), g_mat.dtype),
+            jnp.zeros((vocab_size, k), gs[0].dtype),
             sids[i][:, None],
-            sg[i],
+            sg_rows[i],
             dnums,
             indices_are_sorted=True,
             unique_indices=False,

@@ -179,11 +179,22 @@ def make_fused_train_step(model, optimizer, lr_fn, *, tile_v=1024,
                 jnp.arange(n, dtype=jnp.int32), (len(group), n)
             )
             sids, order = jax.lax.sort_key_val(ids_mat, iota, dimension=1)
-            sg = jnp.take_along_axis(g_mat, order[:, :, None], axis=1)
+            if n > 32_768:
+                # batched take_along_axis gets a pathological layout at
+                # large N (50 ms at N=65536 — ops/embedding.py
+                # PERMUTE_BATCHED_MAX_N rationale); permute per-table
+                sg = None
+                sg_rows = [
+                    jnp.take(g_mat[i], order[i], axis=0)
+                    for i in range(len(group))
+                ]
+            else:
+                sg = jnp.take_along_axis(g_mat, order[:, :, None], axis=1)
+                sg_rows = [sg[i] for i in range(len(group))]
             for i, f in enumerate(group):
                 new_w[f.name], new_m[f.name], new_v[f.name] = segment_adam_update(
                     storage[f.name], fstate["m"][f.name], fstate["v"][f.name],
-                    sids[i], sg[i], lr=lr, step=step1,
+                    sids[i], sg_rows[i], lr=lr, step=step1,
                     b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS,
                     l2=l2_cols, tile_v=tile_v, chunk_n=chunk,
                 )

@@ -170,8 +170,11 @@ def _one_step(model, optimizer, state: TrainState, data: dict, idx,
         )
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
-    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
+    with jax.named_scope("optimizer_update"):
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1, rng), loss
 
 

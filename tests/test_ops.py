@@ -128,3 +128,31 @@ class TestLookupMulti:
             rows = embedding_lookup_multi(tables, ids)
         assert rows[0].shape == (2, 2, 2)
         np.testing.assert_allclose(np.asarray(rows[1][1, 1]), [6.0, 7.0])
+
+
+class TestPermuteSizeSplit:
+    def test_per_table_permute_branch_matches(self, monkeypatch):
+        """Past PERMUTE_BATCHED_MAX_N the backward permutes per-table;
+        grads must be identical to the batched form."""
+        import recman_tpu.ops.embedding as emb
+
+        rs = np.random.RandomState(11)
+        T, V, N, K = 3, 30, 40, 5
+        tables = [jnp.asarray(rs.randn(V, K), dtype=jnp.float32)
+                  for _ in range(T)]
+        ids = [jnp.asarray(rs.randint(0, V, N), dtype=jnp.int32)
+               for _ in range(T)]
+        wts = [jnp.asarray(rs.randn(N, K), dtype=jnp.float32)
+               for _ in range(T)]
+
+        def loss(tabs):
+            with fused_grad(True):
+                rows = embedding_lookup_multi(list(tabs), ids)
+            return sum(jnp.sum(r * w) for r, w in zip(rows, wts))
+
+        g_batched = jax.grad(loss)(tuple(tables))
+        monkeypatch.setattr(emb, "PERMUTE_BATCHED_MAX_N", N - 1)
+        g_split = jax.grad(loss)(tuple(tables))
+        for a, b in zip(g_batched, g_split):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)

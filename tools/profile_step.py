@@ -74,6 +74,8 @@ def main():
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--path", choices=("std", "fused"),
                     default="std", help="which hot loop to profile")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the bench batch size")
     args = ap.parse_args()
 
     import jax
@@ -114,7 +116,8 @@ def main():
     else:
         state = init_state(model, optimizer, jax.random.PRNGKey(0))
         step = make_train_step(model, optimizer)
-    idx_mat = batch_indices(bench.N_ROWS, bench.BATCH_SIZE, shuffle_seed=0)
+    batch_size = args.batch or bench.BATCH_SIZE
+    idx_mat = batch_indices(bench.N_ROWS, batch_size, shuffle_seed=0)
     idx_mat = idx_mat[(idx_mat >= 0).all(axis=1)]
     idx = [jnp.asarray(row) for row in idx_mat]
 
