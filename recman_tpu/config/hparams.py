@@ -255,6 +255,128 @@ class AutoIntHyperParams(BaseHyperParameters):
         self.add_param(self.AttDropOut, 1.0)
 
 
+class WideDeepHyperParams(BaseHyperParameters):
+    """Wide&Deep config (arXiv:1606.07792; beyond-reference model)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    LinearL2Reg = "linear_l2_reg"
+    LinearFeatures = "linear_features"
+    DeepHiddenUnits = "deep_hidden_units"
+    DeepDropOut = "deep_dropout"
+    DeepActivation = "deep_activation"
+    DeepL2Reg = "deep_l2_reg"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.LinearL2Reg, 0.00001)
+        self.add_param(self.LinearFeatures, ())
+        self.add_param(self.DeepHiddenUnits, (32, 32))
+        self.add_param(self.DeepDropOut, (0.8, 0.8, 0.8))
+        self.add_param(self.DeepActivation, "relu")
+        self.add_param(self.DeepL2Reg, 0.00001)
+
+
+class NFMHyperParams(BaseHyperParameters):
+    """NFM config (arXiv:1708.05027; beyond-reference model)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    LinearL2Reg = "linear_l2_reg"
+    LinearFeatures = "linear_features"
+    BiDropOut = "bi_dropout"
+    DeepHiddenUnits = "deep_hidden_units"
+    DeepDropOut = "deep_dropout"
+    DeepActivation = "deep_activation"
+    DeepL2Reg = "deep_l2_reg"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.LinearL2Reg, 0.00001)
+        self.add_param(self.LinearFeatures, ())
+        self.add_param(self.BiDropOut, 1.0)
+        self.add_param(self.DeepHiddenUnits, (32, 32))
+        self.add_param(self.DeepDropOut, (0.8, 0.8, 0.8))
+        self.add_param(self.DeepActivation, "relu")
+        self.add_param(self.DeepL2Reg, 0.00001)
+
+
+class PNNHyperParams(BaseHyperParameters):
+    """PNN config (arXiv:1611.00144; beyond-reference model)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    ProductType = "product_type"  # "inner" | "outer" | "both"
+    DeepHiddenUnits = "deep_hidden_units"
+    DeepDropOut = "deep_dropout"
+    DeepActivation = "deep_activation"
+    DeepL2Reg = "deep_l2_reg"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.ProductType, "inner")
+        self.add_param(self.DeepHiddenUnits, (32, 32))
+        self.add_param(self.DeepDropOut, (0.8, 0.8, 0.8))
+        self.add_param(self.DeepActivation, "relu")
+        self.add_param(self.DeepL2Reg, 0.00001)
+
+
+class FiBiNETHyperParams(BaseHyperParameters):
+    """FiBiNET config (arXiv:1905.09433; beyond-reference model)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    LinearL2Reg = "linear_l2_reg"
+    LinearFeatures = "linear_features"
+    BilinearType = "bilinear_type"  # "all" | "each" | "interaction"
+    ReductionRatio = "reduction_ratio"
+    SENETL2Reg = "senet_l2_reg"
+    BilinearL2Reg = "bilinear_l2_reg"
+    DeepHiddenUnits = "deep_hidden_units"
+    DeepDropOut = "deep_dropout"
+    DeepActivation = "deep_activation"
+    DeepL2Reg = "deep_l2_reg"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.LinearL2Reg, 0.00001)
+        self.add_param(self.LinearFeatures, ())
+        self.add_param(self.BilinearType, "all")
+        self.add_param(self.ReductionRatio, 3)
+        self.add_param(self.SENETL2Reg, 0.0)
+        self.add_param(self.BilinearL2Reg, 0.0)
+        self.add_param(self.DeepHiddenUnits, (32, 32))
+        self.add_param(self.DeepDropOut, (0.8, 0.8, 0.8))
+        self.add_param(self.DeepActivation, "relu")
+        self.add_param(self.DeepL2Reg, 0.00001)
+
+
+class FwFMHyperParams(BaseHyperParameters):
+    """FwFM config (arXiv:1806.03514; beyond-reference model)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    LinearL2Reg = "linear_l2_reg"
+    LinearFeatures = "linear_features"
+    FieldWeightL2Reg = "field_weight_l2_reg"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.LinearL2Reg, 0.00001)
+        self.add_param(self.LinearFeatures, ())
+        self.add_param(self.FieldWeightL2Reg, 0.0)
+
+
 class AFMHyperParams(BaseHyperParameters):
     """AFM config (capability spec from the stale reference AFM.py:20-60)."""
 

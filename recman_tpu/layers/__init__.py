@@ -1,5 +1,6 @@
 from .afm import AFMLayer
 from .batchnorm import BatchNormalization
+from .bi_interaction import BiInteractionPooling
 from .cin import CIN
 from .common import ACTIVATIONS, dice, dropout, leaky_relu, resolve_activation, split_rng
 from .cross import CrossNet
@@ -8,15 +9,19 @@ from .autoint import InteractingLayer
 from .din_attention import ASPLayer
 from .dnn import DNN, dnn_combine
 from .embedding import EmbeddingLayer, sqrtn_combine
-from .fm import FMLayer
+from .fm import FMLayer, FwFMLayer
 from .linear import LinearLayer, SparseLinearLayer
 from .prediction import PredictionLayer
+from .product import ProductLayer
+from .senet import BilinearInteraction, SENETLayer
 
 __all__ = [
     "ACTIVATIONS",
     "AFMLayer",
     "BatchNormalization",
     "ASPLayer",
+    "BiInteractionPooling",
+    "BilinearInteraction",
     "CIN",
     "CrossNet",
     "CrossNetV2",
@@ -24,8 +29,11 @@ __all__ = [
     "DNN",
     "EmbeddingLayer",
     "FMLayer",
+    "FwFMLayer",
     "LinearLayer",
     "PredictionLayer",
+    "ProductLayer",
+    "SENETLayer",
     "SparseLinearLayer",
     "dice",
     "dnn_combine",

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..utils import l2_loss
 from .common import dropout, split_rng
 
 
@@ -44,3 +45,39 @@ class FMLayer:
 
     def l2(self, params):
         return jnp.float32(0.0)  # reference layers.py:480-481
+
+
+class FwFMLayer:
+    """Field-weighted FM interaction (FwFM, arXiv:1806.03514 eq. 4).
+
+    Beyond-reference layer: the pairwise term Σ_{i<j} r_ij <v_i, v_j> with
+    one learned scalar r per FIELD pair. Computed as one bfk,bgk->bfg
+    gram einsum masked by a static upper-triangular r matrix — F² scalars,
+    so the whole interaction stays a single MXU contraction plus a (B,)
+    reduction.
+    """
+
+    def __init__(self, num_fields: int, l2_reg: float = 0.0,
+                 prefix: str = "fwfm_"):
+        self.num_fields = int(num_fields)
+        self.l2_reg = float(l2_reg)
+        self.prefix = prefix
+
+    def init(self, key=None) -> dict:
+        import numpy as np
+
+        # init at the plain-FM point (r=1 on i<j pairs) so FwFM starts as FM
+        r0 = jnp.asarray(np.triu(np.ones((self.num_fields,) * 2), k=1),
+                         dtype=jnp.float32)
+        return {f"{self.prefix}r": r0}
+
+    def apply(self, params, embeddings) -> jnp.ndarray:
+        assert embeddings.ndim == 3
+        f = self.num_fields
+        gram = jnp.einsum("bfk,bgk->bfg", embeddings, embeddings)
+        mask = jnp.triu(jnp.ones((f, f), dtype=embeddings.dtype), k=1)
+        r = params[f"{self.prefix}r"] * mask
+        return jnp.sum(gram * r[None, :, :], axis=(1, 2))[:, None]  # (B, 1)
+
+    def l2(self, params):
+        return self.l2_reg * l2_loss(params[f"{self.prefix}r"])

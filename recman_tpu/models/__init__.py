@@ -5,9 +5,36 @@ from .dcn import DCN
 from .dcn_v2 import DCNv2
 from .deepfm import DeepFM
 from .din import DIN
+from .fibinet import FiBiNET
 from .fm import FM
+from .fwfm import FwFM
+from .nfm import NFM
+from .pnn import PNN
+from .wide_deep import WideDeep
 from .xdeepfm import XDeepFM
 
-MODEL_REGISTRY = {m.name: m for m in (FM, DeepFM, DCN, DCNv2, XDeepFM, AFM, DIN, AutoInt)}
+MODEL_REGISTRY = {
+    m.name: m
+    for m in (
+        FM, FwFM, DeepFM, WideDeep, NFM, PNN, DCN, DCNv2, XDeepFM, AFM, DIN,
+        AutoInt, FiBiNET,
+    )
+}
 
-__all__ = ["AFM", "AutoInt", "DCN", "DCNv2", "DIN", "DeepFM", "FM", "Model", "XDeepFM", "MODEL_REGISTRY"]
+__all__ = [
+    "AFM",
+    "AutoInt",
+    "DCN",
+    "DCNv2",
+    "DIN",
+    "DeepFM",
+    "FM",
+    "FiBiNET",
+    "FwFM",
+    "Model",
+    "NFM",
+    "PNN",
+    "WideDeep",
+    "XDeepFM",
+    "MODEL_REGISTRY",
+]

@@ -183,4 +183,113 @@ class TestBeyondReferenceZoo:
         assert out.shape == (3, 5, 8)  # H*dh = 8
 
     def test_registry_contains_new_models(self):
-        assert "dcn_v2" in MODEL_REGISTRY and "autoint" in MODEL_REGISTRY
+        for name in ("dcn_v2", "autoint", "wide_deep", "nfm", "pnn",
+                     "fibinet", "fwfm"):
+            assert name in MODEL_REGISTRY, name
+
+
+class TestRound2Zoo:
+    """Wide&Deep / NFM / PNN / FiBiNET / FwFM (beyond-reference models):
+    learn on the synthetic fixture + layer-level identities."""
+
+    @pytest.mark.parametrize("name,hp", [
+        ("wide_deep", {}),
+        ("nfm", {}),
+        ("pnn", {"product_type": "inner"}),
+        ("pnn", {"product_type": "outer"}),
+        ("pnn", {"product_type": "both"}),
+        ("fibinet", {"bilinear_type": "all"}),
+        ("fibinet", {"bilinear_type": "each"}),
+        ("fibinet", {"bilinear_type": "interaction"}),
+        ("fwfm", {}),
+    ])
+    def test_learns_synthetic(self, name, hp, synthetic_df, synthetic_features):
+        model = MODEL_REGISTRY[name](synthetic_features, hp)
+        trainer = Trainer(
+            model, {"learning_rate": 0.05, "optimizer": "adam"},
+            metrics=(LogLoss(),), epoch=5, batch_size=16, random_seed=2019,
+        )
+        y = synthetic_df["LABEL"].values
+        before = trainer.evaluate(synthetic_df, y)[0]
+        trainer.fit(synthetic_df, y, random_seed_for_mini_batch=False)
+        assert trainer.evaluate(synthetic_df, y)[0] < before
+
+    def test_fwfm_init_matches_fm_pairwise(self, rng):
+        """With r=1 (the init), FwFM's pair term equals FM's second-order
+        term computed by the sum-square identity."""
+        import jax.numpy as jnp
+
+        from recman_tpu.layers import FMLayer, FwFMLayer
+
+        emb = jax.random.normal(rng, (7, 5, 8))
+        fw = FwFMLayer(num_fields=5)
+        got = fw.apply(fw.init(), emb)
+        fm = FMLayer(dropout_keep=(1.0, 1.0))
+        want = fm.apply({}, emb, jnp.zeros((7, 5, 1)), training=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bi_interaction_matches_explicit_pairs(self, rng):
+        """Bi-interaction pooling equals Σ_{i<j} v_i ⊙ v_j elementwise."""
+        from recman_tpu.layers import BiInteractionPooling
+
+        emb = np.asarray(jax.random.normal(rng, (4, 6, 3)))
+        want = np.zeros((4, 3))
+        for i in range(6):
+            for j in range(i + 1, 6):
+                want += emb[:, i, :] * emb[:, j, :]
+        layer = BiInteractionPooling()
+        got = layer.apply({}, emb, training=False)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+    def test_product_layer_inner_matches_pairs(self, rng):
+        from recman_tpu.layers import ProductLayer
+
+        emb = np.asarray(jax.random.normal(rng, (3, 5, 4)))
+        layer = ProductLayer(num_fields=5, embedding_size=4, kind="inner")
+        got = np.asarray(layer.apply({}, emb))
+        assert got.shape == (3, 10) and layer.output_dim == 10
+        col = 0
+        for i in range(5):
+            for j in range(i + 1, 5):
+                np.testing.assert_allclose(
+                    got[:, col], (emb[:, i, :] * emb[:, j, :]).sum(-1),
+                    rtol=1e-5, atol=1e-5,
+                )
+                col += 1
+
+    def test_bilinear_shapes_and_all_type_identity(self, rng):
+        import jax.numpy as jnp
+
+        from recman_tpu.layers import BilinearInteraction
+
+        emb = jax.random.normal(rng, (2, 4, 3))
+        for btype, n_w in (("all", 1), ("each", 4), ("interaction", 6)):
+            layer = BilinearInteraction(4, 3, bilinear_type=btype)
+            params = layer.init(jax.random.PRNGKey(1))
+            assert params[f"bilinear_w_{btype}"].shape == (n_w, 3, 3)
+            out = layer.apply(params, emb)
+            assert out.shape == (2, 6, 3)
+        # "all": p_01 must equal (v_0 W) ⊙ v_1 computed by hand
+        layer = BilinearInteraction(4, 3, bilinear_type="all")
+        params = layer.init(jax.random.PRNGKey(2))
+        out = layer.apply(params, emb)
+        want = (emb[:, 0, :] @ params["bilinear_w_all"][0]) * emb[:, 1, :]
+        np.testing.assert_allclose(np.asarray(out[:, 0, :]), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_senet_scales_fields(self, rng):
+        from recman_tpu.layers import SENETLayer
+
+        layer = SENETLayer(num_fields=6, reduction_ratio=2)
+        params = layer.init(rng)
+        emb = jax.random.normal(jax.random.PRNGKey(3), (5, 6, 4))
+        out = np.asarray(layer.apply(params, emb))
+        e = np.asarray(emb)
+        assert out.shape == e.shape
+        # each field vector is a nonneg scalar multiple of the input:
+        # least-squares per-(example, field) scale reconstructs out exactly
+        scale = (out * e).sum(axis=2) / (e * e).sum(axis=2)
+        np.testing.assert_allclose(out, e * scale[:, :, None],
+                                   rtol=1e-4, atol=1e-5)
+        assert (scale >= -1e-6).all()
