@@ -10,10 +10,14 @@ from .train_step import (
     make_eval_step,
     make_train_step,
 )
+from .resilient import Preempted, Resilience, TrainingDiverged
 from .trainer import Trainer, batch_indices
 
 __all__ = [
     "FusedAdamTrainer",
+    "Preempted",
+    "Resilience",
+    "TrainingDiverged",
     "Gini",
     "LogLoss",
     "RocAucScore",

@@ -343,11 +343,20 @@ class Trainer:
         epoch_callback=None,
         show_progress=False,
         batch_number_to_show_progress=50,
+        resilience=None,
     ):
         """Reference fit loop shape (DeepModel.py:141-228): epoch-0 eval
         (with an optional profiler trace), per-epoch reshuffle + step loop +
         eval + TB log + callback; ``show_progress`` drives a tqdm epoch bar
-        (DeepModel.py:158)."""
+        (DeepModel.py:158).
+
+        ``resilience``: a training.Resilience policy — periodic + preemption
+        checkpointing, exact mid-epoch resume, divergence rollback
+        (training/resilient.py). Forces DETERMINISTIC per-epoch shuffle
+        seeds (a function of random_seed and the epoch) so a restored
+        step count regenerates the same index matrix and resume is
+        bit-exact; the reference's np.random.randint reshuffle quirk
+        (DeepModel.py:183) is incompatible with that and is overridden."""
         assert X_train is not None and y_train is not None
         import contextlib
 
@@ -367,6 +376,20 @@ class Trainer:
         y_np = np.asarray(y_train, dtype=np.float32)
         n = len(y_np)
 
+        steps_per_epoch = n // self.batch_size + 1  # batch_indices contract
+        start_epoch, resume_offset = 1, 0
+        if resilience is not None:
+            meta = resilience.resume(self)
+            if meta is not None:
+                done = int(meta["step"])
+                start_epoch = done // steps_per_epoch + 1
+                resume_offset = done % steps_per_epoch
+                if start_epoch > self.epoch and resume_offset == 0:
+                    log.info("Resilience: run already complete at step %d",
+                             done)
+                    return self
+            resilience.install()
+
         if tb_logger is not None:
             tb_logger.trace_on(epoch=0)
         eval_results = self._eval_at_epoch(
@@ -381,83 +404,110 @@ class Trainer:
                 variables=self.state.params,
             )
 
-        for epoch in range(1, self.epoch + 1):
-            start_time = time()
-            if random_seed_for_mini_batch:
-                seed = np.random.randint(1, 2019)  # DeepModel.py:183
-            else:
-                seed = self.random_seed
-            idx = self._batch_index_matrix(n, shuffle_seed=seed)
+        try:
+            for epoch in range(start_epoch, self.epoch + 1):
+                start_time = time()
+                if resilience is not None:
+                    # deterministic reshuffle so a restored step count
+                    # regenerates this epoch's exact index matrix
+                    seed = (self.random_seed + 104729 * epoch) % (2**31 - 1)
+                elif random_seed_for_mini_batch:
+                    seed = np.random.randint(1, 2019)  # DeepModel.py:183
+                else:
+                    seed = self.random_seed
+                idx = self._batch_index_matrix(n, shuffle_seed=seed)
+                epoch_base = (epoch - 1) * steps_per_epoch
+                offset = resume_offset if epoch == start_epoch else 0
+                if offset:
+                    idx = idx[offset:]
+                    log.info("Resilience: resuming epoch %d at batch %d/%d",
+                             epoch, offset, steps_per_epoch)
 
-            if tb_logger is None and self.epoch_in_one_dispatch:
-                # whole epoch in one dispatch (make_train_epoch). NOT the
-                # default: on TPU, XLA copies the params+opt-state scan
-                # carry per iteration instead of aliasing (measured 2x
-                # slower than the pipelined per-step loop — NOTES.md);
-                # useful where dispatch, not compute, dominates (tiny
-                # models, high-latency links)
-                self.state, losses = self._train_epoch(
-                    self.state, data, jnp.asarray(idx), layout
-                )
-                mean_loss = float(jnp.mean(losses))
-            elif tb_logger is None and self.steps_per_dispatch > 1:
-                # grouped dispatches; the non-divisible tail runs through
-                # the per-step path, preserving exact step-count/rng parity
-                u = self.steps_per_dispatch
-                if self._train_step_unrolled is None:
-                    from .train_step import make_train_step_unrolled
+                def _step_done(local_i):
+                    if resilience is not None:
+                        resilience.step_boundary(
+                            self, epoch_base + offset + local_i + 1, epoch
+                        )
 
-                    self._train_step_unrolled = make_train_step_unrolled(
-                        self.model, self.optimizer, u
+                if tb_logger is None and self.epoch_in_one_dispatch:
+                    # whole epoch in one dispatch (make_train_epoch). NOT the
+                    # default: on TPU, XLA copies the params+opt-state scan
+                    # carry per iteration instead of aliasing (measured 2x
+                    # slower than the pipelined per-step loop — NOTES.md);
+                    # useful where dispatch, not compute, dominates (tiny
+                    # models, high-latency links)
+                    self.state, losses = self._train_epoch(
+                        self.state, data, jnp.asarray(idx), layout
                     )
-                losses = []
-                full = (idx.shape[0] // u) * u
-                for s in range(0, full, u):
-                    self.state, lvec = self._train_step_unrolled(
-                        self.state, data, jnp.asarray(idx[s : s + u]), layout
-                    )
-                    losses.append(lvec)
-                for i in range(full, idx.shape[0]):
-                    losses.append(self.fit_on_batch(data, idx[i], layout))
-                mean_loss = float(np.mean(np.concatenate(
-                    [np.atleast_1d(np.asarray(l)) for l in losses]
-                )))
-            else:
-                losses = []
-                for i in range(idx.shape[0]):
-                    if tb_logger is not None and i % batch_number_to_show_progress == 0:
-                        tb_logger.trace_on(epoch)
-                    losses.append(self.fit_on_batch(data, idx[i], layout))
-                    if tb_logger is not None and i % batch_number_to_show_progress == 0:
-                        tb_logger.trace_off(epoch)
-                    if i % batch_number_to_show_progress == 0:
-                        log.debug("Fit: %d/%d batches", i + 1, idx.shape[0])
-                mean_loss = float(np.mean([float(l) for l in losses]))
-            log.info(
-                "Fit epoch %d: %d batches, mean loss %.5f",
-                epoch, idx.shape[0], mean_loss,
-            )
+                    mean_loss = float(jnp.mean(losses))
+                elif tb_logger is None and self.steps_per_dispatch > 1:
+                    # grouped dispatches; the non-divisible tail runs through
+                    # the per-step path, preserving exact step-count/rng parity
+                    u = self.steps_per_dispatch
+                    if self._train_step_unrolled is None:
+                        from .train_step import make_train_step_unrolled
 
-            eval_results = self._eval_at_epoch(
-                data, y_np, X_valid, y_valid, start_time, epoch=epoch,
-                layout=layout,
-            )
-            if tb_logger is not None:
-                tb_logger.log_params(
-                    epoch=epoch,
-                    eval_results=eval_results,
-                    metrics=self.metrics,
-                    variables=self.state.params,
+                        self._train_step_unrolled = make_train_step_unrolled(
+                            self.model, self.optimizer, u
+                        )
+                    losses = []
+                    full = (idx.shape[0] // u) * u
+                    for s in range(0, full, u):
+                        self.state, lvec = self._train_step_unrolled(
+                            self.state, data, jnp.asarray(idx[s : s + u]), layout
+                        )
+                        losses.append(lvec)
+                        _step_done(s + u - 1)
+                    for i in range(full, idx.shape[0]):
+                        losses.append(self.fit_on_batch(data, idx[i], layout))
+                        _step_done(i)
+                    mean_loss = float(np.mean(np.concatenate(
+                        [np.atleast_1d(np.asarray(l)) for l in losses]
+                    )))
+                else:
+                    losses = []
+                    for i in range(idx.shape[0]):
+                        if tb_logger is not None and i % batch_number_to_show_progress == 0:
+                            tb_logger.trace_on(epoch)
+                        losses.append(self.fit_on_batch(data, idx[i], layout))
+                        _step_done(i)
+                        if tb_logger is not None and i % batch_number_to_show_progress == 0:
+                            tb_logger.trace_off(epoch)
+                        if i % batch_number_to_show_progress == 0:
+                            log.debug("Fit: %d/%d batches", i + 1, idx.shape[0])
+                    mean_loss = float(np.mean([float(l) for l in losses]))
+                log.info(
+                    "Fit epoch %d: %d batches, mean loss %.5f",
+                    epoch, idx.shape[0], mean_loss,
                 )
-            if epoch_callback:
-                epoch_callback(
-                    model=self,
-                    eval_results=eval_results,
-                    df_all=X_train[:1] if hasattr(X_train, "__getitem__") else None,
+                if resilience is not None:
+                    resilience.epoch_boundary(
+                        self, epoch_base + steps_per_epoch, epoch, mean_loss
+                    )
+
+                eval_results = self._eval_at_epoch(
+                    data, y_np, X_valid, y_valid, start_time, epoch=epoch,
+                    layout=layout,
                 )
-            progress.update(1)
-        if hasattr(progress, "close"):
-            progress.close()
+                if tb_logger is not None:
+                    tb_logger.log_params(
+                        epoch=epoch,
+                        eval_results=eval_results,
+                        metrics=self.metrics,
+                        variables=self.state.params,
+                    )
+                if epoch_callback:
+                    epoch_callback(
+                        model=self,
+                        eval_results=eval_results,
+                        df_all=X_train[:1] if hasattr(X_train, "__getitem__") else None,
+                    )
+                progress.update(1)
+            if hasattr(progress, "close"):
+                progress.close()
+        finally:
+            if resilience is not None:
+                resilience.uninstall()
         return self
 
     # -- checkpointing (reference DeepModel.py:83-86) ----------------------

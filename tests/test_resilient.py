@@ -1,0 +1,140 @@
+"""Failure-detection / elastic-restart tests (training/resilient.py):
+periodic checkpoint cadence + retention, preemption capture with exact
+mid-epoch resume, and divergence rollback."""
+
+import os
+import signal
+
+import numpy as np
+import pytest
+
+from recman_tpu.models import FM
+from recman_tpu.training import (
+    LogLoss,
+    Preempted,
+    Resilience,
+    Trainer,
+    TrainingDiverged,
+)
+
+
+def make_trainer(feats, epoch=3, batch_size=4, seed=2019):
+    model = FM(feats)
+    return Trainer(
+        model, {"learning_rate": 0.05, "optimizer": "adam"},
+        metrics=(LogLoss(),), epoch=epoch, batch_size=batch_size,
+        random_seed=seed,
+    )
+
+
+class PreemptAtStep(Resilience):
+    """Deterministically simulates a preemption signal arriving just
+    before global step ``at_step`` completes."""
+
+    def __init__(self, *args, at_step, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.at_step = at_step
+
+    def step_boundary(self, trainer, step, epoch):
+        if step == self.at_step:
+            self._preempted = True
+        super().step_boundary(trainer, step, epoch)
+
+
+class TestResilience:
+    def test_periodic_save_retention_and_latest(self, tmp_path, synthetic_df,
+                                                synthetic_features):
+        res = Resilience(tmp_path / "ckpts", every_steps=2, keep=2,
+                         preempt_signals=())
+        t = make_trainer(synthetic_features, epoch=2)
+        y = synthetic_df["LABEL"].values
+        t.fit(synthetic_df, y, resilience=res)
+
+        dirs = sorted(d for d in os.listdir(tmp_path / "ckpts")
+                      if d.startswith("step_"))
+        assert len(dirs) == 2, dirs  # retention pruned older saves
+        found = res.latest()
+        assert found is not None
+        path, meta = found
+        # 16 rows / batch 4 -> 5 steps/epoch, 2 epochs = 10 steps
+        assert meta["step"] == 10 and meta["epoch"] == 2
+        assert os.path.basename(path) == dirs[-1]
+
+    def test_preempt_then_resume_matches_uninterrupted(
+            self, tmp_path, synthetic_df, synthetic_features):
+        y = synthetic_df["LABEL"].values
+
+        # uninterrupted reference run (same deterministic seed derivation)
+        ref = make_trainer(synthetic_features, epoch=3)
+        ref.fit(synthetic_df, y,
+                resilience=Resilience(tmp_path / "ref", every_epochs=10**6,
+                                      preempt_signals=()))
+
+        # run that gets "preempted" mid-epoch-2 (global step 7 of 15)
+        res = PreemptAtStep(tmp_path / "ck", at_step=7, every_steps=None,
+                            every_epochs=1, preempt_signals=())
+        t1 = make_trainer(synthetic_features, epoch=3)
+        with pytest.raises(Preempted):
+            t1.fit(synthetic_df, y, resilience=res)
+        assert res.latest()[1]["step"] == 7
+
+        # fresh process: new trainer resumes from the checkpoint and
+        # finishes; the trajectory must match the uninterrupted run
+        t2 = make_trainer(synthetic_features, epoch=3)
+        t2.fit(synthetic_df, y,
+               resilience=Resilience(tmp_path / "ck", preempt_signals=()))
+        for name, want in ref.state.params.items():
+            np.testing.assert_allclose(
+                np.asarray(t2.state.params[name]), np.asarray(want),
+                rtol=0, atol=0, err_msg=f"param {name} diverged after resume",
+            )
+        assert int(t2.state.step) == int(ref.state.step)
+
+    def test_completed_run_resume_is_noop(self, tmp_path, synthetic_df,
+                                          synthetic_features):
+        y = synthetic_df["LABEL"].values
+        res = Resilience(tmp_path / "done", preempt_signals=())
+        t = make_trainer(synthetic_features, epoch=2)
+        t.fit(synthetic_df, y, resilience=res)
+        step_after = int(t.state.step)
+
+        t2 = make_trainer(synthetic_features, epoch=2)
+        t2.fit(synthetic_df, y,
+               resilience=Resilience(tmp_path / "done", preempt_signals=()))
+        assert int(t2.state.step) == step_after  # restored, no extra epochs
+
+    def test_divergence_rolls_back_to_last_good(self, tmp_path, synthetic_df,
+                                                synthetic_features):
+        y = synthetic_df["LABEL"].values
+        res = Resilience(tmp_path / "div", preempt_signals=())
+        t = make_trainer(synthetic_features, epoch=1)
+        t.fit(synthetic_df, y, resilience=res)  # saves a good epoch-1 ckpt
+        good = {k: np.asarray(v) for k, v in t.state.params.items()}
+
+        # corrupt the live state, then report a NaN epoch loss
+        t.state = t.state._replace(
+            params={k: v * np.float32(100.0) for k, v in t.state.params.items()}
+        )
+        with pytest.raises(TrainingDiverged):
+            res.epoch_boundary(t, step=10, epoch=2, mean_loss=float("nan"))
+        for name, want in good.items():
+            np.testing.assert_allclose(np.asarray(t.state.params[name]), want,
+                                       rtol=0, atol=0)
+
+    def test_signal_capture_and_handler_restore(self, tmp_path):
+        res = Resilience(tmp_path / "sig", preempt_signals=(signal.SIGUSR1,))
+        before = signal.getsignal(signal.SIGUSR1)
+        res.install()
+        try:
+            os.kill(os.getpid(), signal.SIGUSR1)
+            assert res.preempted
+        finally:
+            res.uninstall()
+        assert signal.getsignal(signal.SIGUSR1) is before
+
+    def test_nonfinite_without_checkpoint_still_raises(self, tmp_path,
+                                                       synthetic_features):
+        res = Resilience(tmp_path / "empty", preempt_signals=())
+        t = make_trainer(synthetic_features, epoch=1)
+        with pytest.raises(TrainingDiverged):
+            res.epoch_boundary(t, step=1, epoch=1, mean_loss=float("inf"))
