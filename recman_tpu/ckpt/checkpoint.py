@@ -57,9 +57,29 @@ def restore_checkpoint(directory, state_template):
     (the reference requires one forward pass before restore because of lazy
     variables, DeepModel.py:83-86; our params exist at init so the template
     is always available)."""
+    import jax
+
     directory = os.path.abspath(directory)
     ckptr = _checkpointer()
     restored = ckptr.restore(os.path.join(directory, STATE_DIR), state_template)
+
+    from jax.sharding import NamedSharding
+
+    def _replace(r, t):
+        # restored leaves come back COMMITTED to device 0; a mixed-placement
+        # state then fails at the next jitted step. Mesh-sharded template
+        # leaves get re-placed onto their NamedSharding; everything else
+        # (replicated scalars/params the template holds UNCOMMITTED) goes
+        # back through the host so jit stays free to place it
+        if isinstance(t, jax.Array) and isinstance(t.sharding, NamedSharding):
+            return jax.device_put(r, t.sharding)
+        if isinstance(r, jax.Array):
+            import numpy as np
+
+            return jax.numpy.asarray(np.asarray(r))
+        return r
+
+    restored = jax.tree.map(_replace, restored, state_template)
     log.info("Checkpoint restored from %s", directory)
     return restored
 

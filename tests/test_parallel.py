@@ -473,3 +473,52 @@ class TestTensorParallelDense:
         assert specs["dnn_layer_0_weights"] == P(None, MODEL_AXIS)
         placed = place_params(params, mesh24, specs)
         assert placed["dnn_layer_0_weights"].sharding.spec == P()
+
+
+class TestShardedResilience:
+    """Resilience (training/resilient.py) composes with ShardedTrainer:
+    Orbax checkpoints/restores the SHARDED TrainState transparently, so a
+    preempted sharded run resumes to the same trajectory as an
+    uninterrupted one."""
+
+    def _make(self, mesh, fs):
+        from recman_tpu.models import DeepFM
+
+        model = DeepFM(fs, {"embedding_size": 4, "deep_hidden_units": (8,),
+                            "deep_dropout": (1.0, 1.0)})
+        return ShardedTrainer(
+            model, {"learning_rate": 0.01, "optimizer": "adam"},
+            metrics=(LogLoss(),), epoch=2, batch_size=64, random_seed=2019,
+            mesh=mesh, row_shard_threshold=256,
+        )
+
+    def test_preempt_resume_matches_uninterrupted(self, mesh81, tmp_path):
+        from recman_tpu.training import Preempted, Resilience
+        from tests.test_resilient import PreemptAtStep
+
+        fs, data = _criteo_setup(num_buckets=500, n=256)
+        y = data["y"]
+
+        ref = self._make(mesh81, fs)
+        ref.fit(data, y, resilience=Resilience(tmp_path / "ref",
+                                               every_epochs=10**6,
+                                               preempt_signals=()))
+
+        t1 = self._make(mesh81, fs)
+        res = PreemptAtStep(tmp_path / "ck", at_step=6, every_epochs=1,
+                            preempt_signals=())
+        with pytest.raises(Preempted):
+            t1.fit(data, y, resilience=res)
+        assert res.latest()[1]["step"] == 6  # mid-epoch-2 (5 steps/epoch)
+
+        t2 = self._make(mesh81, fs)
+        t2.fit(data, y, resilience=Resilience(tmp_path / "ck",
+                                              preempt_signals=()))
+        assert int(t2.state.step) == int(ref.state.step)
+        for name, want in ref.state.params.items():
+            got = t2.state.params[name]
+            assert got.sharding.spec == want.sharding.spec, name
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=0, atol=0,
+                err_msg=f"sharded param {name} diverged after resume",
+            )

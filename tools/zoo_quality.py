@@ -6,11 +6,16 @@ Config matches the recorded rows: frac 0.5, 1 epoch, lr 0.001, batch 128,
 seed 2019, eval on the test split.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from recman_tpu.examples.model_zoo_ml import run_model  # noqa: E402
 
