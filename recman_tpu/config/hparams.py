@@ -359,6 +359,32 @@ class FiBiNETHyperParams(BaseHyperParameters):
         self.add_param(self.DeepL2Reg, 0.00001)
 
 
+class DLRMHyperParams(BaseHyperParameters):
+    """DLRM config (arXiv:1906.00091; beyond-reference model)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    BotHiddenUnits = "bot_hidden_units"
+    BotActivation = "bot_activation"
+    BotL2Reg = "bot_l2_reg"
+    TopHiddenUnits = "top_hidden_units"
+    TopDropOut = "top_dropout"
+    TopActivation = "top_activation"
+    TopL2Reg = "top_l2_reg"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.BotHiddenUnits, (32,))
+        self.add_param(self.BotActivation, "relu")
+        self.add_param(self.BotL2Reg, 0.00001)
+        self.add_param(self.TopHiddenUnits, (32, 32))
+        self.add_param(self.TopDropOut, (1.0, 1.0, 1.0))
+        self.add_param(self.TopActivation, "relu")
+        self.add_param(self.TopL2Reg, 0.00001)
+
+
 class FwFMHyperParams(BaseHyperParameters):
     """FwFM config (arXiv:1806.03514; beyond-reference model)."""
 

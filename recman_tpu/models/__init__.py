@@ -5,6 +5,7 @@ from .dcn import DCN
 from .dcn_v2 import DCNv2
 from .deepfm import DeepFM
 from .din import DIN
+from .dlrm import DLRM
 from .fibinet import FiBiNET
 from .fm import FM
 from .fwfm import FwFM
@@ -16,8 +17,8 @@ from .xdeepfm import XDeepFM
 MODEL_REGISTRY = {
     m.name: m
     for m in (
-        FM, FwFM, DeepFM, WideDeep, NFM, PNN, DCN, DCNv2, XDeepFM, AFM, DIN,
-        AutoInt, FiBiNET,
+        FM, FwFM, DeepFM, WideDeep, NFM, PNN, DCN, DCNv2, DLRM, XDeepFM, AFM,
+        DIN, AutoInt, FiBiNET,
     )
 }
 
@@ -27,6 +28,7 @@ __all__ = [
     "DCN",
     "DCNv2",
     "DIN",
+    "DLRM",
     "DeepFM",
     "FM",
     "FiBiNET",

@@ -26,6 +26,11 @@ Pieces:
 
 Checkpoints are plain ``ckpt.save_checkpoint`` directories named by
 global step, so any of them also serves ``Trainer.restore`` / serving.
+
+Scope: integrated with ``Trainer.fit`` (and ``ShardedTrainer`` — Orbax
+checkpoints the sharded TrainState; restore re-places shardings).
+``fit_stream`` is not step-resumable yet (chunk sources aren't
+replayable mid-chunk); wrap it with per-chunk ``save()`` calls instead.
 """
 
 from __future__ import annotations

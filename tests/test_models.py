@@ -202,6 +202,7 @@ class TestRound2Zoo:
         ("fibinet", {"bilinear_type": "each"}),
         ("fibinet", {"bilinear_type": "interaction"}),
         ("fwfm", {}),
+        ("dlrm", {}),  # no dense feats in the fixture: pure dot-interaction
     ])
     def test_learns_synthetic(self, name, hp, synthetic_df, synthetic_features):
         model = MODEL_REGISTRY[name](synthetic_features, hp)
@@ -277,6 +278,32 @@ class TestRound2Zoo:
         want = (emb[:, 0, :] @ params["bilinear_w_all"][0]) * emb[:, 1, :]
         np.testing.assert_allclose(np.asarray(out[:, 0, :]), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_dlrm_with_dense_bottom_mlp(self):
+        """Criteo-shaped schema (13 dense feats): the bottom MLP projects
+        dense to k, joins the dot interaction as a field, and the model
+        learns."""
+        from recman_tpu.data import create_criteo_features, synthetic_criteo_arrays
+        from recman_tpu.models import DLRM
+
+        fs = create_criteo_features(num_buckets=200)
+        data = synthetic_criteo_arrays(512, num_buckets=200, seed=11)
+        model = DLRM(fs, {"embedding_size": 4, "bot_hidden_units": (8,),
+                          "top_hidden_units": (16,),
+                          "top_dropout": (1.0, 1.0)})
+        params = model.init_params(jax.random.PRNGKey(0))
+        assert params["dlrm_bot_0_weights"].shape == (13, 8)
+        assert params["dlrm_bot_1_weights"].shape == (8, 4)  # projects to k
+        # 26 sparse fields + 1 dense field -> 27*26/2 pairs + k top input
+        assert params["top_dnn_layer_0_weights"].shape == (4 + 27 * 13, 16)
+
+        trainer = Trainer(model, {"learning_rate": 0.02, "optimizer": "adam"},
+                          metrics=(LogLoss(),), epoch=1, batch_size=64,
+                          random_seed=2019)
+        y = data["y"]
+        before = trainer.evaluate(data, y)[0]
+        trainer.fit(data, y, random_seed_for_mini_batch=False)
+        assert trainer.evaluate(data, y)[0] < before
 
     def test_senet_scales_fields(self, rng):
         from recman_tpu.layers import SENETLayer

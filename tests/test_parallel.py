@@ -522,3 +522,27 @@ class TestShardedResilience:
                 np.asarray(got), np.asarray(want), rtol=0, atol=0,
                 err_msg=f"sharded param {name} diverged after resume",
             )
+
+
+class TestRound2ZooSharded:
+    """The new model families ride the SPMD path unchanged: their extra
+    params (SENET/bilinear 3-D stacks, product layers) fall back to
+    replicated specs while tables row-shard."""
+
+    @pytest.mark.parametrize("name", ["fibinet", "nfm", "pnn"])
+    def test_learns_on_mesh(self, mesh81, name):
+        from recman_tpu.models import MODEL_REGISTRY
+
+        fs, data = _criteo_setup(num_buckets=500, n=256)
+        model = MODEL_REGISTRY[name](fs, {"embedding_size": 4,
+                                          "deep_hidden_units": (8,),
+                                          "deep_dropout": (1.0, 1.0)})
+        trainer = ShardedTrainer(
+            model, {"learning_rate": 0.02, "optimizer": "adam"},
+            metrics=(LogLoss(),), epoch=1, batch_size=64, random_seed=2019,
+            mesh=mesh81, row_shard_threshold=256,
+        )
+        y = data["y"]
+        before = trainer.evaluate(data, y)[0]
+        trainer.fit(data, y, random_seed_for_mini_batch=False)
+        assert trainer.evaluate(data, y)[0] < before
