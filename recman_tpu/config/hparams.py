@@ -449,3 +449,65 @@ class DINHyperParams(BaseHyperParameters):
         self.add_param(self.DeepDropOut, (1.0, 1.0, 1.0))
         self.add_param(self.DeepActivation, "dice")
         self.add_param(self.DeepL2Reg, 0.00001)
+
+
+class MaskNetHyperParams(BaseHyperParameters):
+    """MaskNet config (arXiv:2102.07619; beyond-reference model)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    Variant = "variant"  # "parallel" | "serial"
+    BlockDims = "block_dims"
+    AggDim = "agg_dim"
+    MaskL2Reg = "mask_l2_reg"
+    DeepHiddenUnits = "deep_hidden_units"  # parallel-variant head MLP
+    DeepDropOut = "deep_dropout"
+    DeepActivation = "deep_activation"
+    DeepL2Reg = "deep_l2_reg"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.Variant, "parallel")
+        self.add_param(self.BlockDims, (32, 32))
+        self.add_param(self.AggDim, 64)
+        self.add_param(self.MaskL2Reg, 0.00001)
+        self.add_param(self.DeepHiddenUnits, (32,))
+        self.add_param(self.DeepDropOut, (1.0, 1.0))
+        self.add_param(self.DeepActivation, "relu")
+        self.add_param(self.DeepL2Reg, 0.00001)
+
+
+class FinalMLPHyperParams(BaseHyperParameters):
+    """FinalMLP config (arXiv:2304.00902; beyond-reference model)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    FS1Context = "fs1_context"  # feature names; () = context-free gate
+    FS2Context = "fs2_context"
+    FSGateHidden = "fs_gate_hidden"
+    FSL2Reg = "fs_l2_reg"
+    Mlp1HiddenUnits = "mlp1_hidden_units"
+    Mlp1DropOut = "mlp1_dropout"
+    Mlp2HiddenUnits = "mlp2_hidden_units"
+    Mlp2DropOut = "mlp2_dropout"
+    MlpActivation = "mlp_activation"
+    MlpL2Reg = "mlp_l2_reg"
+    NumHeads = "num_heads"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.FS1Context, ())
+        self.add_param(self.FS2Context, ())
+        self.add_param(self.FSGateHidden, 64)
+        self.add_param(self.FSL2Reg, 0.0)
+        self.add_param(self.Mlp1HiddenUnits, (64, 32))
+        self.add_param(self.Mlp1DropOut, (1.0, 1.0))
+        self.add_param(self.Mlp2HiddenUnits, (32, 32))
+        self.add_param(self.Mlp2DropOut, (1.0, 1.0))
+        self.add_param(self.MlpActivation, "relu")
+        self.add_param(self.MlpL2Reg, 0.00001)
+        self.add_param(self.NumHeads, 4)

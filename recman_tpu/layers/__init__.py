@@ -9,7 +9,9 @@ from .autoint import InteractingLayer
 from .din_attention import ASPLayer
 from .dnn import DNN, dnn_combine
 from .embedding import EmbeddingLayer, sqrtn_combine
+from .final_mlp import FeatureSelectionGate, InteractionAggregation, MLPBlock
 from .fm import FMLayer, FwFMLayer
+from .masknet import LayerNorm, MaskBlock
 from .linear import LinearLayer, SparseLinearLayer
 from .prediction import PredictionLayer
 from .product import ProductLayer

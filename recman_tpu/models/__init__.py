@@ -7,8 +7,10 @@ from .deepfm import DeepFM
 from .din import DIN
 from .dlrm import DLRM
 from .fibinet import FiBiNET
+from .final_mlp import FinalMLP
 from .fm import FM
 from .fwfm import FwFM
+from .masknet import MaskNet
 from .nfm import NFM
 from .pnn import PNN
 from .wide_deep import WideDeep
@@ -18,7 +20,7 @@ MODEL_REGISTRY = {
     m.name: m
     for m in (
         FM, FwFM, DeepFM, WideDeep, NFM, PNN, DCN, DCNv2, DLRM, XDeepFM, AFM,
-        DIN, AutoInt, FiBiNET,
+        DIN, AutoInt, FiBiNET, MaskNet, FinalMLP,
     )
 }
 
@@ -32,7 +34,9 @@ __all__ = [
     "DeepFM",
     "FM",
     "FiBiNET",
+    "FinalMLP",
     "FwFM",
+    "MaskNet",
     "Model",
     "NFM",
     "PNN",

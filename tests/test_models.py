@@ -320,3 +320,84 @@ class TestRound2Zoo:
         np.testing.assert_allclose(out, e * scale[:, :, None],
                                    rtol=1e-4, atol=1e-5)
         assert (scale >= -1e-6).all()
+
+
+class TestRound3Zoo:
+    """MaskNet / FinalMLP (beyond-reference models): learning on the
+    synthetic fixture + layer-level identities."""
+
+    @pytest.mark.parametrize("name,hp", [
+        ("masknet", {"variant": "parallel"}),
+        ("masknet", {"variant": "serial"}),
+        ("final_mlp", {}),
+        ("final_mlp", {"num_heads": 1}),
+        ("final_mlp", {"fs1_context": ("USER_ID",),
+                       "fs2_context": ("CLASS_ID", "CATEGORY")}),
+    ])
+    def test_learns_synthetic(self, name, hp, synthetic_df, synthetic_features):
+        model = MODEL_REGISTRY[name](synthetic_features, hp)
+        trainer = Trainer(
+            model, {"learning_rate": 0.05, "optimizer": "adam"},
+            metrics=(LogLoss(),), epoch=5, batch_size=16, random_seed=2019,
+        )
+        y = synthetic_df["LABEL"].values
+        before = trainer.evaluate(synthetic_df, y)[0]
+        trainer.fit(synthetic_df, y, random_seed_for_mini_batch=False)
+        assert trainer.evaluate(synthetic_df, y)[0] < before
+
+    def test_mask_block_matches_manual(self, rng):
+        """MaskBlock output equals the paper's formula computed by hand."""
+        import jax.numpy as jnp
+
+        from recman_tpu.layers.masknet import MaskBlock
+
+        blk = MaskBlock(mask_input_dim=12, input_dim=10, output_dim=6,
+                        agg_dim=8, prefix="t_")
+        params = blk.init(rng)
+        k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
+        x = jax.random.normal(k1, (5, 10))
+        v = jax.random.normal(k2, (5, 12))
+        got = np.asarray(blk.apply(params, x, v))
+
+        p = {k: np.asarray(a) for k, a in params.items()}
+        mask = np.maximum(v @ p["t_agg_w"] + p["t_agg_b"], 0) @ p["t_proj_w"] + p["t_proj_b"]
+        h = (np.asarray(x) * mask) @ p["t_hidden_w"]
+        mu = h.mean(-1, keepdims=True)
+        var = h.var(-1, keepdims=True)
+        ln = (h - mu) / np.sqrt(var + 1e-6) * p["t_ln_gamma"] + p["t_ln_beta"]
+        np.testing.assert_allclose(got, np.maximum(ln, 0), rtol=1e-5, atol=1e-5)
+
+    def test_interaction_aggregation_matches_loop(self, rng):
+        """Multi-head bilinear fusion equals the explicit per-head loop."""
+        from recman_tpu.layers.final_mlp import InteractionAggregation
+
+        agg = InteractionAggregation(dim1=8, dim2=12, num_heads=4, prefix="t_")
+        params = agg.init(rng)
+        k1, k2 = jax.random.split(jax.random.fold_in(rng, 3))
+        o1 = np.asarray(jax.random.normal(k1, (6, 8)))
+        o2 = np.asarray(jax.random.normal(k2, (6, 12)))
+        got = np.asarray(agg.apply(params, o1, o2))[:, 0]
+
+        p = {k: np.asarray(a) for k, a in params.items()}
+        want = o1 @ p["t_w1"][:, 0] + o2 @ p["t_w2"][:, 0] + p["t_bias"][0]
+        for h in range(4):
+            a = o1[:, h * 2:(h + 1) * 2]
+            b = o2[:, h * 3:(h + 1) * 3]
+            want += np.einsum("bi,ij,bj->b", a, p["t_w12"][h], b)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_fs_gate_range_and_context_slots(self, synthetic_features):
+        """Gates live in (0, 2); context slots resolve by feature name."""
+        from recman_tpu.models import FinalMLP
+
+        model = FinalMLP(synthetic_features,
+                         {"fs1_context": ("USER_ID",), "fs2_context": ()})
+        assert len(model._ctx_slots1) == 1 and model._ctx_slots2 == ()
+        params = model.init_params(jax.random.PRNGKey(0))
+        g = np.asarray(model.fs2.gate(params))
+        assert g.shape == (1, model.fs2.target_dim)
+        assert (g > 0).all() and (g < 2).all()
+
+    def test_registry_contains_round3_models(self):
+        for name in ("masknet", "final_mlp"):
+            assert name in MODEL_REGISTRY, name

@@ -529,8 +529,13 @@ class TestRound2ZooSharded:
     params (SENET/bilinear 3-D stacks, product layers) fall back to
     replicated specs while tables row-shard."""
 
-    @pytest.mark.parametrize("name", ["fibinet", "nfm", "pnn"])
-    def test_learns_on_mesh(self, mesh81, name):
+    # final_mlp's fused bilinear head starts near zero (no linear tower),
+    # so it needs a few more steps than the rest to move on 256 rows
+    @pytest.mark.parametrize("name,epoch", [
+        ("fibinet", 1), ("nfm", 1), ("pnn", 1), ("masknet", 1),
+        ("final_mlp", 3),
+    ])
+    def test_learns_on_mesh(self, mesh81, name, epoch):
         from recman_tpu.models import MODEL_REGISTRY
 
         fs, data = _criteo_setup(num_buckets=500, n=256)
@@ -539,7 +544,7 @@ class TestRound2ZooSharded:
                                           "deep_dropout": (1.0, 1.0)})
         trainer = ShardedTrainer(
             model, {"learning_rate": 0.02, "optimizer": "adam"},
-            metrics=(LogLoss(),), epoch=1, batch_size=64, random_seed=2019,
+            metrics=(LogLoss(),), epoch=epoch, batch_size=64, random_seed=2019,
             mesh=mesh81, row_shard_threshold=256,
         )
         y = data["y"]
