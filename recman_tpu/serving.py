@@ -7,9 +7,19 @@ first-class surface: a Predictor rebuilds the feature schema from the
 checkpoint's sidecar, restores params, and serves dataframes or
 pre-encoded arrays with a compiled batched forward — including the
 inference-time weight-override mechanism.
+
+``Predictor.export`` additionally freezes the forward pass into a
+self-contained AOT artifact (StableHLO via ``jax.export``): the serving
+process needs only this package's FEATURE code (to encode rows) plus
+jax — no model classes, no hparams, no tracing at load time. Any linear
+weight overrides active at export time are baked in as constants.
 """
 
 from __future__ import annotations
+
+import json
+import os
+import pickle
 
 import numpy as np
 
@@ -20,6 +30,11 @@ from .ckpt import load_feat_dict, load_hparams, restore_checkpoint
 from .models import MODEL_REGISTRY
 from .training import Trainer, create_optimizer, init_state
 from .training.trainer import batch_indices
+
+EXPORT_BLOB = "serving_fn.jaxexport"
+EXPORT_META = "serving_meta.json"
+EXPORT_PARAMS = "serving_params.npz"
+EXPORT_SCHEMA = "feat_dict.pkl"
 
 
 class Predictor:
@@ -96,4 +111,128 @@ class Predictor:
             )
             for i in range(idx.shape[0])
         ]
+        return np.concatenate(outs)[:n]
+
+    def export(self, directory, sample_X, batch_size=None, platforms=None,
+               apply_overrides=True):
+        """Freeze the forward pass into an AOT serving artifact.
+
+        ``sample_X`` (dataframe or encoded dict) supplies the batch layout
+        (which arrays exist, their trailing shapes and dtypes); the
+        exported function is traced at a FIXED batch size (padded at serve
+        time — same padded-batch scheme the live Predictor uses).
+        ``platforms`` optionally lowers for several backends at once
+        (e.g. ``("cpu", "tpu")``); default is the current backend.
+
+        Active linear weight overrides are baked into the artifact as
+        constants when ``apply_overrides`` — re-export to change them.
+        """
+        from jax import export as jax_export
+
+        bs = int(batch_size or self.batch_size)
+        if isinstance(sample_X, dict):
+            sample = {k: np.asarray(v) for k, v in sample_X.items()}
+        else:
+            sample = self.model.feat_dict.transform(sample_X)
+        sample.pop("y", None)
+
+        override = None
+        linear = getattr(self.model, "linear", None)
+        if apply_overrides and linear is not None:
+            override = jnp.asarray(linear.override_vector())
+
+        model = self.model
+
+        def serve_fn(params, batch):
+            return model.apply(
+                params, batch, training=False, linear_override=override
+            )
+
+        batch_specs = {
+            k: jax.ShapeDtypeStruct((bs,) + v.shape[1:], v.dtype)
+            for k, v in sample.items()
+        }
+        param_specs = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), dict(self.params)
+        )
+        kwargs = {}
+        if platforms is not None:
+            kwargs["platforms"] = tuple(platforms)
+        exported = jax_export.export(jax.jit(serve_fn), **kwargs)(
+            param_specs, batch_specs
+        )
+
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, EXPORT_BLOB), "wb") as f:
+            f.write(exported.serialize())
+        np.savez(
+            os.path.join(directory, EXPORT_PARAMS),
+            **{k: np.asarray(v) for k, v in self.params.items()},
+        )
+        with open(os.path.join(directory, EXPORT_SCHEMA), "wb") as f:
+            pickle.dump(self.model.feat_dict, f, protocol=pickle.HIGHEST_PROTOCOL)
+        meta = {
+            "model": model.name,
+            "batch_size": bs,
+            "batch_keys": sorted(sample),
+            "platforms": list(exported.platforms),
+        }
+        with open(os.path.join(directory, EXPORT_META), "w") as f:
+            json.dump(meta, f, indent=2)
+        return directory
+
+
+class ExportedPredictor:
+    """Serves an artifact written by ``Predictor.export`` — no model code,
+    no tracing: deserialize + call."""
+
+    def __init__(self, call_fn, params, feat_dict, meta):
+        self._call = call_fn
+        self.params = params
+        self.feat_dict = feat_dict
+        self.meta = meta
+        self.batch_size = int(meta["batch_size"])
+        self.batch_keys = list(meta["batch_keys"])
+
+    @classmethod
+    def load(cls, directory):
+        from jax import export as jax_export
+
+        directory = os.path.abspath(directory)
+        with open(os.path.join(directory, EXPORT_BLOB), "rb") as f:
+            exported = jax_export.deserialize(f.read())
+        with np.load(os.path.join(directory, EXPORT_PARAMS)) as z:
+            params = {k: z[k] for k in z.files}
+        with open(os.path.join(directory, EXPORT_SCHEMA), "rb") as f:
+            feat_dict = pickle.load(f)
+        with open(os.path.join(directory, EXPORT_META)) as f:
+            meta = json.load(f)
+        return cls(exported.call, params, feat_dict, meta)
+
+    def predict(self, X) -> np.ndarray:
+        """Batched scoring of a dataframe or encoded-array dict; rows are
+        edge-padded up to the exported batch size and trimmed after."""
+        if isinstance(X, dict):
+            data = {k: np.asarray(v) for k, v in X.items()}
+        else:
+            data = self.feat_dict.transform(X)
+        data.pop("y", None)
+        missing = [k for k in self.batch_keys if k not in data]
+        assert not missing, f"input is missing encoded columns: {missing}"
+
+        n = len(next(iter(data.values())))
+        bs = self.batch_size
+        outs = []
+        for start in range(0, n, bs):
+            chunk = {k: data[k][start:start + bs] for k in self.batch_keys}
+            m = len(chunk[self.batch_keys[0]])
+            if m < bs:
+                chunk = {
+                    k: np.concatenate(
+                        [v, np.repeat(v[-1:], bs - m, axis=0)], axis=0
+                    )
+                    for k, v in chunk.items()
+                }
+            outs.append(np.asarray(self._call(self.params, chunk))[:m])
         return np.concatenate(outs)[:n]

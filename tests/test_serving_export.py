@@ -1,0 +1,90 @@
+"""AOT serving-artifact tests: Predictor.export -> ExportedPredictor.load
+roundtrip (StableHLO via jax.export; no model classes at serve time)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from recman_tpu.models import MODEL_REGISTRY
+from recman_tpu.serving import (
+    EXPORT_BLOB,
+    EXPORT_META,
+    EXPORT_PARAMS,
+    EXPORT_SCHEMA,
+    ExportedPredictor,
+    Predictor,
+)
+
+
+@pytest.fixture
+def xdeepfm_predictor(synthetic_features):
+    model = MODEL_REGISTRY["xdeepfm"](synthetic_features, {"embedding_size": 4})
+    params = model.init_params(jax.random.PRNGKey(3))
+    return Predictor(model, params, batch_size=8)
+
+
+class TestExportRoundtrip:
+    def test_artifact_files_and_parity(self, tmp_path, xdeepfm_predictor,
+                                       synthetic_df):
+        d = xdeepfm_predictor.export(str(tmp_path), synthetic_df)
+        for name in (EXPORT_BLOB, EXPORT_META, EXPORT_PARAMS, EXPORT_SCHEMA):
+            assert (tmp_path / name).exists(), name
+
+        served = ExportedPredictor.load(d)
+        want = xdeepfm_predictor.predict(synthetic_df)
+        got = served.predict(synthetic_df)
+        assert got.shape == want.shape == (len(synthetic_df),)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_padding_path(self, tmp_path, xdeepfm_predictor, synthetic_df):
+        """16 rows through a batch-5 artifact: 3 padded calls + trim."""
+        d = xdeepfm_predictor.export(str(tmp_path), synthetic_df, batch_size=5)
+        served = ExportedPredictor.load(d)
+        want = xdeepfm_predictor.predict(synthetic_df)
+        got = served.predict(synthetic_df)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_encoded_dict_input(self, tmp_path, xdeepfm_predictor,
+                                synthetic_df):
+        d = xdeepfm_predictor.export(str(tmp_path), synthetic_df)
+        served = ExportedPredictor.load(d)
+        data = served.feat_dict.transform(synthetic_df)
+        np.testing.assert_allclose(
+            served.predict(data), xdeepfm_predictor.predict(synthetic_df),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_override_baked_in(self, tmp_path, synthetic_features,
+                               synthetic_df):
+        """Overrides active at export time are constants in the artifact."""
+        model = MODEL_REGISTRY["xdeepfm"](synthetic_features,
+                                          {"embedding_size": 4})
+        params = model.init_params(jax.random.PRNGKey(3))
+        pred = Predictor(model, params, batch_size=8)
+
+        base = pred.export(str(tmp_path / "base"), synthetic_df)
+        synthetic_features["CATEGORY"].set_weights({"Outdoor": -5})
+        overridden = pred.export(str(tmp_path / "ovr"), synthetic_df)
+        try:
+            got_base = ExportedPredictor.load(base).predict(synthetic_df)
+            got_ovr = ExportedPredictor.load(overridden).predict(synthetic_df)
+            live = pred.predict(synthetic_df, apply_overrides=True)
+        finally:
+            synthetic_features["CATEGORY"].set_weights({})
+
+        np.testing.assert_allclose(got_ovr, live, rtol=1e-5, atol=1e-6)
+        outdoor = np.asarray(synthetic_df["CATEGORY"] == "Outdoor")
+        assert (np.abs(got_ovr - got_base)[outdoor] > 1e-4).all()
+        np.testing.assert_allclose(got_base[~outdoor], got_ovr[~outdoor],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_no_model_registry_needed(self, tmp_path, xdeepfm_predictor,
+                                      synthetic_df, monkeypatch):
+        """Loading must not consult MODEL_REGISTRY / model classes."""
+        d = xdeepfm_predictor.export(str(tmp_path), synthetic_df)
+        import recman_tpu.serving as serving
+
+        monkeypatch.setattr(serving, "MODEL_REGISTRY", {})
+        served = ExportedPredictor.load(d)
+        assert served.predict(synthetic_df).shape == (len(synthetic_df),)
