@@ -114,7 +114,7 @@ class Predictor:
         return np.concatenate(outs)[:n]
 
     def export(self, directory, sample_X, batch_size=None, platforms=None,
-               apply_overrides=True):
+               apply_overrides=True, quantize_embeddings=False):
         """Freeze the forward pass into an AOT serving artifact.
 
         ``sample_X`` (dataframe or encoded dict) supplies the batch layout
@@ -126,6 +126,12 @@ class Predictor:
 
         Active linear weight overrides are baked into the artifact as
         constants when ``apply_overrides`` — re-export to change them.
+
+        ``quantize_embeddings`` stores the (V, k) embedding tables as
+        symmetric per-row int8 + f32 scales in the artifact (~4x smaller
+        on disk/network; tables dominate CTR checkpoint size). They are
+        dequantized to f32 once at load, so the compiled function and its
+        runtime numerics are unchanged apart from the quantization error.
         """
         from jax import export as jax_export
 
@@ -166,10 +172,27 @@ class Predictor:
         os.makedirs(directory, exist_ok=True)
         with open(os.path.join(directory, EXPORT_BLOB), "wb") as f:
             f.write(exported.serialize())
-        np.savez(
-            os.path.join(directory, EXPORT_PARAMS),
-            **{k: np.asarray(v) for k, v in self.params.items()},
-        )
+
+        stored, quantized = {}, []
+        for k, v in self.params.items():
+            a = np.asarray(v)
+            if (
+                quantize_embeddings
+                and k.endswith("_feat_embed")
+                and a.ndim == 2
+                and a.dtype == np.float32
+            ):
+                scale = np.maximum(
+                    np.abs(a).max(axis=1) / 127.0, 1e-12
+                ).astype(np.float32)
+                stored[f"{k}::q8"] = np.clip(
+                    np.rint(a / scale[:, None]), -127, 127
+                ).astype(np.int8)
+                stored[f"{k}::q8scale"] = scale
+                quantized.append(k)
+            else:
+                stored[k] = a
+        np.savez(os.path.join(directory, EXPORT_PARAMS), **stored)
         with open(os.path.join(directory, EXPORT_SCHEMA), "wb") as f:
             pickle.dump(self.model.feat_dict, f, protocol=pickle.HIGHEST_PROTOCOL)
         meta = {
@@ -177,6 +200,7 @@ class Predictor:
             "batch_size": bs,
             "batch_keys": sorted(sample),
             "platforms": list(exported.platforms),
+            "quantized": quantized,
         }
         with open(os.path.join(directory, EXPORT_META), "w") as f:
             json.dump(meta, f, indent=2)
@@ -203,7 +227,18 @@ class ExportedPredictor:
         with open(os.path.join(directory, EXPORT_BLOB), "rb") as f:
             exported = jax_export.deserialize(f.read())
         with np.load(os.path.join(directory, EXPORT_PARAMS)) as z:
-            params = {k: z[k] for k in z.files}
+            params = {}
+            for k in z.files:
+                if k.endswith("::q8scale"):
+                    continue
+                if k.endswith("::q8"):
+                    name = k[: -len("::q8")]
+                    scale = z[f"{name}::q8scale"]
+                    params[name] = (
+                        z[k].astype(np.float32) * scale[:, None]
+                    )
+                else:
+                    params[k] = z[k]
         with open(os.path.join(directory, EXPORT_SCHEMA), "rb") as f:
             feat_dict = pickle.load(f)
         with open(os.path.join(directory, EXPORT_META)) as f:
