@@ -205,6 +205,7 @@ class DCNv2HyperParams(BaseHyperParameters):
     CrossLayerL2Reg = "cross_layer_l2_reg"
     CrossRank = "cross_rank"  # None = full-rank (d, d) layers
     CrossNumExperts = "cross_num_experts"  # >1 = mixture of low-rank experts
+    CrossGated = "cross_gated"  # True = GDCN information gate (2311.04635)
     Structure = "structure"  # "stacked" | "parallel"
 
     def __init__(self):
@@ -222,6 +223,7 @@ class DCNv2HyperParams(BaseHyperParameters):
         self.add_param(self.CrossLayerL2Reg, 0.0)
         self.add_param(self.CrossRank, None)
         self.add_param(self.CrossNumExperts, 1)
+        self.add_param(self.CrossGated, False)
         self.add_param(self.Structure, "parallel")
 
 

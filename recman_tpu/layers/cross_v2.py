@@ -30,22 +30,29 @@ class CrossNetV2:
     ``cross_v2_w0`` (1,)."""
 
     def __init__(self, input_dim, num_layers=3, rank=None, num_experts=1,
-                 l2_reg=0.0, prefix=""):
+                 l2_reg=0.0, gated=False, prefix=""):
         assert num_layers > 0 and num_experts >= 1
         assert rank is not None or num_experts == 1, (
             "mixture-of-experts requires low-rank experts (set rank)"
+        )
+        assert not (gated and rank is not None), (
+            "the GDCN gate (arXiv:2311.04635) is defined on full-rank "
+            "cross layers"
         )
         self.input_dim = input_dim
         self.num_layers = num_layers
         self.rank = rank
         self.num_experts = num_experts
         self.l2_reg = l2_reg
+        self.gated = gated
         self.prefix = prefix
 
     def _layer_param_names(self, i):
         names = [f"{self.prefix}cross_v2_b_{i}"]
         if self.rank is None:
             names.append(f"{self.prefix}cross_v2_w_{i}")
+            if self.gated:
+                names.append(f"{self.prefix}cross_v2_wg_{i}")
         else:
             for e in range(self.num_experts):
                 names.append(f"{self.prefix}cross_v2_u_{i}_{e}")
@@ -67,6 +74,10 @@ class CrossNetV2:
                 params[f"{self.prefix}cross_v2_w_{i}"] = glorot_normal(
                     next(ki), (d, d)
                 )
+                if self.gated:
+                    params[f"{self.prefix}cross_v2_wg_{i}"] = glorot_normal(
+                        next(ki), (d, d)
+                    )
             else:
                 for e in range(self.num_experts):
                     params[f"{self.prefix}cross_v2_u_{i}_{e}"] = glorot_normal(
@@ -93,8 +104,15 @@ class CrossNetV2:
         x = inputs
         for i in range(self.num_layers):
             b = params[f"{self.prefix}cross_v2_b_{i}"]
+            gate = None
             if self.rank is None:
                 inter = x @ params[f"{self.prefix}cross_v2_w_{i}"]
+                if self.gated:
+                    # GDCN (arXiv:2311.04635): information gate filters each
+                    # cross term; x_{l+1} = x0 ⊙ (W_c x + b) ⊙ σ(W_g x) + x
+                    gate = jax.nn.sigmoid(
+                        x @ params[f"{self.prefix}cross_v2_wg_{i}"]
+                    )
             else:
                 outs = []
                 for e in range(self.num_experts):
@@ -111,7 +129,10 @@ class CrossNetV2:
                         outs[e] * gate[:, e : e + 1]
                         for e in range(self.num_experts)
                     )
-            x = x0 * (inter + b) + x
+            cross = x0 * (inter + b)
+            if gate is not None:
+                cross = cross * gate
+            x = cross + x
         return x
 
     def apply(self, params, inputs, training=True, rng=None):

@@ -2,7 +2,7 @@ from .afm import AFM
 from .autoint import AutoInt
 from .base import Model
 from .dcn import DCN
-from .dcn_v2 import DCNv2
+from .dcn_v2 import DCNv2, GDCN
 from .deepfm import DeepFM
 from .din import DIN
 from .dlrm import DLRM
@@ -20,7 +20,7 @@ MODEL_REGISTRY = {
     m.name: m
     for m in (
         FM, FwFM, DeepFM, WideDeep, NFM, PNN, DCN, DCNv2, DLRM, XDeepFM, AFM,
-        DIN, AutoInt, FiBiNET, MaskNet, FinalMLP,
+        DIN, AutoInt, FiBiNET, MaskNet, FinalMLP, GDCN,
     )
 }
 
@@ -36,6 +36,7 @@ __all__ = [
     "FiBiNET",
     "FinalMLP",
     "FwFM",
+    "GDCN",
     "MaskNet",
     "Model",
     "NFM",

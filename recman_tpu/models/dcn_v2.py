@@ -62,6 +62,7 @@ class DCNv2(Model):
             rank=hp[HP.CrossRank],
             num_experts=hp[HP.CrossNumExperts],
             l2_reg=hp[HP.CrossLayerL2Reg],
+            gated=bool(hp[HP.CrossGated]),
         )
         self.dnn = DNN(
             input_dim=input_dim,
@@ -127,3 +128,20 @@ class DCNv2(Model):
 
                         total = total + self.cross.l2_reg * l2_loss(params[name])
         return total
+
+
+class GDCN(DCNv2):
+    """GDCN — Gated Deep Cross Network (arXiv:2311.04635).
+
+    DCN-V2 with an information gate on every cross layer:
+    x_{l+1} = x0 ⊙ (W_c x_l + b_l) ⊙ σ(W_g x_l) + x_l. The paper's
+    GDCN-S/GDCN-P correspond to ``structure="stacked"/"parallel"``.
+    """
+
+    name = "gdcn"
+
+    def __init__(self, feat_dict, hparams: dict | None = None, task="classification"):
+        hp = {"cross_gated": True}
+        hp.update(hparams or {})
+        assert hp["cross_gated"], "GDCN is the gated variant by definition"
+        super().__init__(feat_dict, hp, task=task)

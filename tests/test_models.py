@@ -401,3 +401,30 @@ class TestRound3Zoo:
     def test_registry_contains_round3_models(self):
         for name in ("masknet", "final_mlp"):
             assert name in MODEL_REGISTRY, name
+
+    def test_gated_cross_matches_manual(self, rng):
+        """GDCN gate: x1 = x0*(W x0 + b)*sigmoid(Wg x0) + x0 (1 layer)."""
+        from recman_tpu.layers.cross_v2 import CrossNetV2
+
+        layer = CrossNetV2(input_dim=6, num_layers=1, gated=True, prefix="t_")
+        params = layer.init(rng)
+        x0 = np.asarray(jax.random.normal(jax.random.fold_in(rng, 1), (4, 6)))
+        got = np.asarray(layer.features(params, x0))
+        p = {k: np.asarray(v) for k, v in params.items()}
+        sig = 1.0 / (1.0 + np.exp(-(x0 @ p["t_cross_v2_wg_0"])))
+        want = x0 * (x0 @ p["t_cross_v2_w_0"] + p["t_cross_v2_b_0"]) * sig + x0
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("hp", [{"structure": "parallel"},
+                                    {"structure": "stacked"}])
+    def test_gdcn_learns_synthetic(self, hp, synthetic_df, synthetic_features):
+        model = MODEL_REGISTRY["gdcn"](synthetic_features, hp)
+        assert model.cross.gated
+        trainer = Trainer(
+            model, {"learning_rate": 0.05, "optimizer": "adam"},
+            metrics=(LogLoss(),), epoch=5, batch_size=16, random_seed=2019,
+        )
+        y = synthetic_df["LABEL"].values
+        before = trainer.evaluate(synthetic_df, y)[0]
+        trainer.fit(synthetic_df, y, random_seed_for_mini_batch=False)
+        assert trainer.evaluate(synthetic_df, y)[0] < before
