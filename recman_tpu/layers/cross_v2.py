@@ -104,13 +104,13 @@ class CrossNetV2:
         x = inputs
         for i in range(self.num_layers):
             b = params[f"{self.prefix}cross_v2_b_{i}"]
-            gate = None
+            info_gate = None
             if self.rank is None:
                 inter = x @ params[f"{self.prefix}cross_v2_w_{i}"]
                 if self.gated:
                     # GDCN (arXiv:2311.04635): information gate filters each
                     # cross term; x_{l+1} = x0 ⊙ (W_c x + b) ⊙ σ(W_g x) + x
-                    gate = jax.nn.sigmoid(
+                    info_gate = jax.nn.sigmoid(
                         x @ params[f"{self.prefix}cross_v2_wg_{i}"]
                     )
             else:
@@ -130,8 +130,8 @@ class CrossNetV2:
                         for e in range(self.num_experts)
                     )
             cross = x0 * (inter + b)
-            if gate is not None:
-                cross = cross * gate
+            if info_gate is not None:
+                cross = cross * info_gate
             x = cross + x
         return x
 

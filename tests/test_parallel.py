@@ -533,7 +533,7 @@ class TestRound2ZooSharded:
     # so it needs a few more steps than the rest to move on 256 rows
     @pytest.mark.parametrize("name,epoch", [
         ("fibinet", 1), ("nfm", 1), ("pnn", 1), ("masknet", 1),
-        ("final_mlp", 3),
+        ("final_mlp", 3), ("gdcn", 1),
     ])
     def test_learns_on_mesh(self, mesh81, name, epoch):
         from recman_tpu.models import MODEL_REGISTRY
