@@ -513,3 +513,35 @@ class FinalMLPHyperParams(BaseHyperParameters):
         self.add_param(self.MlpActivation, "relu")
         self.add_param(self.MlpL2Reg, 0.00001)
         self.add_param(self.NumHeads, 4)
+
+
+class BSTHyperParams(BaseHyperParameters):
+    """BST config (arXiv:1905.06874; beyond-reference model)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    NumBlocks = "num_blocks"
+    NumHeads = "num_heads"
+    FFHidden = "ff_hidden"
+    AttDropOut = "att_dropout"  # keep probability
+    TransActivation = "trans_activation"
+    TransL2Reg = "trans_l2_reg"
+    DeepHiddenUnits = "deep_hidden_units"
+    DeepDropOut = "deep_dropout"
+    DeepActivation = "deep_activation"
+    DeepL2Reg = "deep_l2_reg"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.NumBlocks, 1)
+        self.add_param(self.NumHeads, 2)
+        self.add_param(self.FFHidden, 32)
+        self.add_param(self.AttDropOut, 1.0)
+        self.add_param(self.TransActivation, "leaky_relu")
+        self.add_param(self.TransL2Reg, 0.0)
+        self.add_param(self.DeepHiddenUnits, (32, 16))
+        self.add_param(self.DeepDropOut, (1.0, 1.0, 1.0))
+        self.add_param(self.DeepActivation, "leaky_relu")
+        self.add_param(self.DeepL2Reg, 0.00001)

@@ -1,6 +1,7 @@
 from .afm import AFM
 from .autoint import AutoInt
 from .base import Model
+from .bst import BST
 from .dcn import DCN
 from .dcn_v2 import DCNv2, GDCN
 from .deepfm import DeepFM
@@ -20,13 +21,14 @@ MODEL_REGISTRY = {
     m.name: m
     for m in (
         FM, FwFM, DeepFM, WideDeep, NFM, PNN, DCN, DCNv2, DLRM, XDeepFM, AFM,
-        DIN, AutoInt, FiBiNET, MaskNet, FinalMLP, GDCN,
+        DIN, BST, AutoInt, FiBiNET, MaskNet, FinalMLP, GDCN,
     )
 }
 
 __all__ = [
     "AFM",
     "AutoInt",
+    "BST",
     "DCN",
     "DCNv2",
     "DIN",

@@ -428,3 +428,46 @@ class TestRound3Zoo:
         before = trainer.evaluate(synthetic_df, y)[0]
         trainer.fit(synthetic_df, y, random_seed_for_mini_batch=False)
         assert trainer.evaluate(synthetic_df, y)[0] < before
+
+    def test_bst_masked_attention_padding_invariant(self, rng):
+        """Changing values at MASKED positions must not affect unmasked
+        outputs (key masking + padding-zeroed flatten)."""
+        import jax.numpy as jnp
+
+        from recman_tpu.layers.bst import TransformerEncoderLayer
+
+        layer = TransformerEncoderLayer(model_dim=8, num_heads=2,
+                                        ff_hidden=16, prefix="t_")
+        params = layer.init(rng)
+        k1, k2 = jax.random.split(jax.random.fold_in(rng, 5))
+        x = jax.random.normal(k1, (3, 6, 8))
+        mask = jnp.asarray([[True] * 4 + [False] * 2] * 3)
+        noise = jax.random.normal(k2, (3, 6, 8)) * jnp.where(
+            mask[:, :, None], 0.0, 10.0
+        )
+        out_a = np.asarray(layer.apply(params, x, mask, training=False))
+        out_b = np.asarray(layer.apply(params, x + noise, mask, training=False))
+        np.testing.assert_allclose(out_a[:, :4], out_b[:, :4],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_bst_learns_sequences(self):
+        from recman_tpu.examples.din_synthetic import make_data
+        from recman_tpu.models import BST
+
+        df = make_data(n=400, n_items=20, max_hist=5)
+        fs = FeatureSet()
+        item = SparseFeat("item_id", feat_size=len(np.unique(df.item_id.values)))
+        fs["item_id"] = item
+        fs["hist_items"] = SequenceFeat("hist_items", id_feat=item, max_len=5)
+        fs.initialize(df)
+
+        model = BST(fs)
+        trainer = Trainer(
+            model, {"learning_rate": 0.02, "optimizer": "adam"},
+            metrics=(LogLoss(), RocAucScore()), epoch=6, batch_size=64,
+            random_seed=2019,
+        )
+        y = df["label"].values
+        trainer.fit(df, y, random_seed_for_mini_batch=False)
+        res = trainer.evaluate(df, y)
+        assert res[1] > 0.65, f"BST failed to learn sequence signal: AUC {res[1]}"
