@@ -551,3 +551,36 @@ class TestRound2ZooSharded:
         before = trainer.evaluate(data, y)[0]
         trainer.fit(data, y, random_seed_for_mini_batch=False)
         assert trainer.evaluate(data, y)[0] < before
+
+
+class TestSequenceModelsSharded:
+    """DIN and BST (SequenceFeat models) train under the SPMD mesh: the
+    tied candidate/history tables ride the row-sharded lookup path and
+    the attention/encoder math is pure batch-sharded dense work."""
+
+    @pytest.mark.parametrize("name", ["din", "bst"])
+    def test_learns_on_mesh(self, mesh81, name):
+        import numpy as np
+
+        from recman_tpu import FeatureSet, SequenceFeat, SparseFeat
+        from recman_tpu.examples.din_synthetic import make_data
+        from recman_tpu.models import MODEL_REGISTRY
+
+        df = make_data(n=256, n_items=20, max_hist=5)
+        fs = FeatureSet()
+        item = SparseFeat("item_id",
+                          feat_size=len(np.unique(df.item_id.values)))
+        fs["item_id"] = item
+        fs["hist_items"] = SequenceFeat("hist_items", id_feat=item, max_len=5)
+        fs.initialize(df)
+
+        model = MODEL_REGISTRY[name](fs)
+        trainer = ShardedTrainer(
+            model, {"learning_rate": 0.02, "optimizer": "adam"},
+            metrics=(LogLoss(),), epoch=3, batch_size=64, random_seed=2019,
+            mesh=mesh81,
+        )
+        y = df["label"].values
+        before = trainer.evaluate(df, y)[0]
+        trainer.fit(df, y, random_seed_for_mini_batch=False)
+        assert trainer.evaluate(df, y)[0] < before
