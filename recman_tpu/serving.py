@@ -132,6 +132,12 @@ class Predictor:
         on disk/network; tables dominate CTR checkpoint size). They are
         dequantized to f32 once at load, so the compiled function and its
         runtime numerics are unchanged apart from the quantization error.
+
+        Caveat: models using Dice activations (DIN defaults) compute
+        BATCH moments even at inference, so their outputs depend on batch
+        composition — export with the batch size you will serve at, and
+        expect the final padded chunk to differ slightly from unbatched
+        scoring (tests/test_serving_export.py documents this).
         """
         from jax import export as jax_export
 

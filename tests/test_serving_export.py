@@ -112,3 +112,33 @@ class TestExportRoundtrip:
         got = sq.predict(synthetic_df)
         np.testing.assert_allclose(got, want, atol=5e-3)
         assert not np.allclose(got, want, atol=1e-8)  # genuinely quantized
+
+
+class TestExportSequenceModels:
+    def test_din_export_roundtrip(self, tmp_path):
+        """Sequence-model artifacts: (B, L) history arrays trace and pad."""
+        import pandas as pd
+
+        from recman_tpu import FeatureSet, SequenceFeat, SparseFeat
+        from recman_tpu.examples.din_synthetic import make_data
+        from recman_tpu.models import DIN
+
+        df = make_data(n=64, n_items=10, max_hist=4)
+        fs = FeatureSet()
+        item = SparseFeat("item_id", feat_size=len(np.unique(df.item_id.values)))
+        fs["item_id"] = item
+        fs["hist_items"] = SequenceFeat("hist_items", id_feat=item, max_len=4)
+        fs.initialize(df)
+
+        # batch-independent activations: DIN's default Dice uses BATCH
+        # moments, so outputs legitimately differ across batch splits —
+        # exact parity needs relu/sigmoid towers
+        model = DIN(fs, {"deep_activation": "relu",
+                         "att_activation": "sigmoid"})
+        params = model.init_params(jax.random.PRNGKey(7))
+        pred = Predictor(model, params, batch_size=16)
+        d = pred.export(str(tmp_path), df, batch_size=10)  # padding path too
+        served = ExportedPredictor.load(d)
+        np.testing.assert_allclose(
+            served.predict(df), pred.predict(df), rtol=1e-5, atol=1e-6
+        )
