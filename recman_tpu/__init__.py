@@ -33,10 +33,13 @@ def config_logger(level=logging.INFO):
 
 from .features import (  # noqa: E402,F401
     FeatureSet,
+    HashedSparseFeat,
     SparseFeat,
     SparseValueFeat,
     DenseFeat,
     MultiValSparseFeat,
     MultiValCsvFeat,
     SequenceFeat,
+    schema_from_json,
+    schema_to_json,
 )

@@ -20,7 +20,8 @@ log = logging.getLogger(__name__)
 
 STATE_DIR = "state"
 HPARAMS_FILE = "hparams.json"
-FEAT_DICT_FILE = "feat_dict.pkl"
+FEAT_DICT_FILE = "feat_dict.pkl"  # legacy/custom-type fallback
+FEAT_DICT_JSON_FILE = "feat_dict.json"  # preferred: pure data, no code exec
 
 
 def _checkpointer():
@@ -47,8 +48,18 @@ def save_checkpoint(directory, state, hparams=None, feat_dict=None):
         with open(os.path.join(directory, HPARAMS_FILE), "w") as f:
             json.dump(clean, f, indent=2)
     if feat_dict is not None:
-        with open(os.path.join(directory, FEAT_DICT_FILE), "wb") as f:
-            pickle.dump(feat_dict, f, protocol=pickle.HIGHEST_PROTOCOL)
+        # JSON when every feature type round-trips (loads without code
+        # execution); pickle fallback for custom encoder/scaler objects
+        try:
+            from ..features import schema_to_json
+
+            schema_json = schema_to_json(feat_dict)
+        except TypeError:
+            with open(os.path.join(directory, FEAT_DICT_FILE), "wb") as f:
+                pickle.dump(feat_dict, f, protocol=pickle.HIGHEST_PROTOCOL)
+        else:
+            with open(os.path.join(directory, FEAT_DICT_JSON_FILE), "w") as f:
+                f.write(schema_json)
     log.info("Checkpoint saved to %s", directory)
 
 
@@ -85,6 +96,14 @@ def restore_checkpoint(directory, state_template):
 
 
 def load_feat_dict(directory):
+    json_path = os.path.join(directory, FEAT_DICT_JSON_FILE)
+    if os.path.exists(json_path):
+        from ..features import schema_from_json
+
+        with open(json_path) as f:
+            return schema_from_json(f.read())
+    # legacy/custom-type checkpoints: unpickling executes arbitrary code —
+    # only load checkpoints from a trusted source
     with open(os.path.join(directory, FEAT_DICT_FILE), "rb") as f:
         return pickle.load(f)
 

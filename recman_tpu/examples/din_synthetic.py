@@ -76,4 +76,5 @@ if __name__ == "__main__":
                          "pooling on this task; valid AUC 0.87 at 15)")
     args = ap.parse_args()
     main(model_name=args.model,
-         epoch=args.epoch or (15 if args.model == "bst" else 3))
+         epoch=args.epoch if args.epoch is not None
+         else (15 if args.model == "bst" else 3))

@@ -51,7 +51,8 @@ def run_model(model_name, frac=0.5, epoch=1, batch_size=128, hparams=None):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="fm",
-                    choices=[m for m in MODEL_REGISTRY if m != "din"])
+                    choices=[m for m, cls in MODEL_REGISTRY.items()
+                             if not cls.requires_sequence])
     ap.add_argument("--frac", type=float, default=0.5)
     ap.add_argument("--epoch", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=128)

@@ -18,6 +18,7 @@ from .schema import (
     SparseFeat,
     SparseValueFeat,
 )
+from .serialize import schema_from_json, schema_to_json
 
 __all__ = [
     "OOV_ID",
@@ -36,4 +37,6 @@ __all__ = [
     "SequenceFeat",
     "SparseFeat",
     "SparseValueFeat",
+    "schema_from_json",
+    "schema_to_json",
 ]

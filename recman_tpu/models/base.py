@@ -25,6 +25,10 @@ class Model:
     """Base for all zoo models."""
 
     name = "model"
+    # models that assert on SequenceFeat presence (DIN family) set this so
+    # generic drivers (examples/model_zoo_ml.py) can filter them out of
+    # schemas without behavior sequences
+    requires_sequence = False
 
     def __init__(self, feat_dict: FeatureSet, task="classification"):
         assert task in ("classification", "regression")

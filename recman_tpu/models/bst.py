@@ -27,6 +27,7 @@ from .base import Model
 
 class BST(Model):
     name = "bst"
+    requires_sequence = True
 
     def __init__(self, feat_dict, hparams: dict | None = None, task="classification"):
         super().__init__(feat_dict, task)

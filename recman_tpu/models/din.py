@@ -22,6 +22,7 @@ from .base import Model
 
 class DIN(Model):
     name = "din"
+    requires_sequence = True
 
     def __init__(self, feat_dict, hparams: dict | None = None, task="classification"):
         super().__init__(feat_dict, task)

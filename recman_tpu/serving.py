@@ -34,7 +34,8 @@ from .training.trainer import batch_indices
 EXPORT_BLOB = "serving_fn.jaxexport"
 EXPORT_META = "serving_meta.json"
 EXPORT_PARAMS = "serving_params.npz"
-EXPORT_SCHEMA = "feat_dict.pkl"
+EXPORT_SCHEMA = "feat_dict.pkl"  # legacy/custom-type fallback (trusted sources only)
+EXPORT_SCHEMA_JSON = "feat_dict.json"  # preferred: pure data, no code execution
 
 
 class Predictor:
@@ -199,8 +200,22 @@ class Predictor:
             else:
                 stored[k] = a
         np.savez(os.path.join(directory, EXPORT_PARAMS), **stored)
-        with open(os.path.join(directory, EXPORT_SCHEMA), "wb") as f:
-            pickle.dump(self.model.feat_dict, f, protocol=pickle.HIGHEST_PROTOCOL)
+        # schema sidecar: JSON when every type round-trips (safe to load
+        # from anywhere); pickle only as a fallback for custom
+        # encoder/scaler objects — such artifacts must come from a
+        # trusted source (unpickling executes arbitrary code)
+        try:
+            from .features import schema_to_json
+
+            schema_json = schema_to_json(self.model.feat_dict)
+        except TypeError:
+            with open(os.path.join(directory, EXPORT_SCHEMA), "wb") as f:
+                pickle.dump(
+                    self.model.feat_dict, f, protocol=pickle.HIGHEST_PROTOCOL
+                )
+        else:
+            with open(os.path.join(directory, EXPORT_SCHEMA_JSON), "w") as f:
+                f.write(schema_json)
         meta = {
             "model": model.name,
             "batch_size": bs,
@@ -245,8 +260,17 @@ class ExportedPredictor:
                     )
                 else:
                     params[k] = z[k]
-        with open(os.path.join(directory, EXPORT_SCHEMA), "rb") as f:
-            feat_dict = pickle.load(f)
+        schema_json_path = os.path.join(directory, EXPORT_SCHEMA_JSON)
+        if os.path.exists(schema_json_path):
+            from .features import schema_from_json
+
+            with open(schema_json_path) as f:
+                feat_dict = schema_from_json(f.read())
+        else:
+            # legacy/custom-type artifacts: unpickling executes arbitrary
+            # code — only load artifacts from a trusted source
+            with open(os.path.join(directory, EXPORT_SCHEMA), "rb") as f:
+                feat_dict = pickle.load(f)
         with open(os.path.join(directory, EXPORT_META)) as f:
             meta = json.load(f)
         return cls(exported.call, params, feat_dict, meta)
@@ -262,7 +286,9 @@ class ExportedPredictor:
         missing = [k for k in self.batch_keys if k not in data]
         assert not missing, f"input is missing encoded columns: {missing}"
 
-        n = len(next(iter(data.values())))
+        n = len(data[self.batch_keys[0]])
+        if n == 0:
+            return np.empty((0,), dtype=np.float32)
         bs = self.batch_size
         outs = []
         for start in range(0, n, bs):

@@ -157,3 +157,85 @@ class TestFeatureSet:
     def test_linear_features_selector(self, synthetic_features):
         feats = synthetic_features.linear_features("CATEGORY,USER_ID")
         assert [f.name for f in feats] == ["CATEGORY", "USER_ID"]
+
+
+class TestSchemaJson:
+    """JSON schema round-trip (features/serialize.py): loading a serving
+    artifact must not execute pickled code."""
+
+    def _full_schema_and_df(self):
+        from recman_tpu import (
+            DenseFeat,
+            FeatureSet,
+            HashedSparseFeat,
+            MultiValCsvFeat,
+            MultiValSparseFeat,
+            SequenceFeat,
+            SparseFeat,
+            SparseValueFeat,
+        )
+
+        df = pd.DataFrame(
+            {
+                "uid": [5, 7, 9, 5],
+                "city": ["sf", "nyc", "sf", "la"],
+                "h": ["a", "b", "", "c"],
+                "iv": [["I1", 2.0], ["I2", 0.5], ["I1", 1.0], ["I3", 3.0]],
+                "age": [10.0, 20.0, 30.0, 40.0],
+                "ts": [1.0, 2.0, 3.0, 4.0],
+                "tags": ["a|b", "b", "", "a|b|c"],
+                "ml": [["x", "y"], ["y"], [], ["z"]],
+                "hist": [[5, 7], [9], [], [5]],
+            }
+        )
+        fs = FeatureSet()
+        uid = SparseFeat("uid")
+        fs["uid"] = uid
+        fs["city"] = SparseFeat("city", description="city code")
+        fs["h"] = HashedSparseFeat("h", num_buckets=32)
+        fs["iv"] = SparseValueFeat("iv")
+        fs["age"] = DenseFeat("age", scaler="standard")
+        fs["ts"] = DenseFeat("ts", scaler="minmax")
+        fs["tags"] = MultiValCsvFeat("tags", tags=("a", "b", "c"))
+        fs["ml"] = MultiValSparseFeat("ml", max_len=3)
+        fs["hist"] = SequenceFeat("hist", id_feat=uid, max_len=4)
+        fs.initialize(df)
+        fs["city"].set_weights({"sf": -2.5})
+        fs["tags"].set_weights({"b": 1.5})
+        return fs, df
+
+    def test_round_trip_transforms_identically(self):
+        from recman_tpu import schema_from_json, schema_to_json
+
+        fs, df = self._full_schema_and_df()
+        fs2 = schema_from_json(schema_to_json(fs))
+
+        assert list(fs2) == list(fs)
+        a, b = fs.transform(df), fs2.transform(df)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        # override vectors survive (incl. dict keys typed correctly)
+        for name in fs:
+            np.testing.assert_array_equal(
+                fs[name].weights, fs2[name].weights, err_msg=name
+            )
+        # feat sizes + tied vocab preserved
+        for name in fs:
+            assert fs[name].feat_size == fs2[name].feat_size, name
+        assert fs2["hist"].id_feat is fs2["uid"]
+
+    def test_custom_scaler_rejected(self):
+        from recman_tpu import DenseFeat, FeatureSet, schema_to_json
+
+        class MyScaler:
+            def fit(self, x):
+                return self
+
+            def transform(self, x):
+                return x
+
+        fs = FeatureSet()
+        fs["d"] = DenseFeat("d", scaler=MyScaler())
+        with pytest.raises(TypeError, match="not JSON-serializable"):
+            schema_to_json(fs)

@@ -12,6 +12,7 @@ from recman_tpu.serving import (
     EXPORT_META,
     EXPORT_PARAMS,
     EXPORT_SCHEMA,
+    EXPORT_SCHEMA_JSON,
     ExportedPredictor,
     Predictor,
 )
@@ -28,14 +29,19 @@ class TestExportRoundtrip:
     def test_artifact_files_and_parity(self, tmp_path, xdeepfm_predictor,
                                        synthetic_df):
         d = xdeepfm_predictor.export(str(tmp_path), synthetic_df)
-        for name in (EXPORT_BLOB, EXPORT_META, EXPORT_PARAMS, EXPORT_SCHEMA):
+        for name in (EXPORT_BLOB, EXPORT_META, EXPORT_PARAMS, EXPORT_SCHEMA_JSON):
             assert (tmp_path / name).exists(), name
+        # built-in feature types serialize as pure-data JSON; no pickle
+        assert not (tmp_path / EXPORT_SCHEMA).exists()
 
         served = ExportedPredictor.load(d)
         want = xdeepfm_predictor.predict(synthetic_df)
         got = served.predict(synthetic_df)
         assert got.shape == want.shape == (len(synthetic_df),)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        # zero-row input early-returns an empty result
+        empty = served.predict(synthetic_df.iloc[:0])
+        assert empty.shape == (0,)
 
     def test_padding_path(self, tmp_path, xdeepfm_predictor, synthetic_df):
         """16 rows through a batch-5 artifact: 3 padded calls + trim."""
