@@ -38,15 +38,26 @@ def leaky_relu(x):
     return jax.nn.leaky_relu(x, negative_slope=0.2)
 
 
-def dice(x, alpha, eps=1e-8):
+def batch_moments(x):
+    """Per-unit mean/variance over the batch axis — the normalization
+    statistics Dice uses during training."""
+    return jnp.mean(x, axis=0), jnp.var(x, axis=0)
+
+
+def dice(x, alpha, mean=None, var=None, eps=1e-8):
     """Dice activation from the DIN paper (arXiv:1706.06978 §4.3).
 
-    p = sigmoid(batchnorm(x)); out = p*x + (1-p)*alpha*x. The reference's
+    p = sigmoid(norm(x)); out = p*x + (1-p)*alpha*x. The reference's
     Dice is half-written and non-functional (activation.py:8-50); this is a
-    working implementation using batch moments over axis 0.
-    """
-    mean = jnp.mean(x, axis=0, keepdims=True)
-    var = jnp.var(x, axis=0, keepdims=True)
+    working implementation.
+
+    ``mean``/``var``: the normalization moments. Pass None for batch
+    moments (training, the paper's E[s]/Var[s] over the mini-batch); pass
+    stored moments for inference so predictions are independent of batch
+    composition (layers holding ``*_dice_mean_*`` params do this — see
+    ASPLayer/DNN and Trainer.calibrate)."""
+    if mean is None or var is None:
+        mean, var = batch_moments(x)
     p = jax.nn.sigmoid((x - mean) * jax.lax.rsqrt(var + eps))
     return p * x + (1.0 - p) * alpha * x
 

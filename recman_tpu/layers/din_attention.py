@@ -20,14 +20,19 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..utils import glorot_normal, l2_loss
-from .common import dice, resolve_activation, split_rng
+from .common import batch_moments, dice, resolve_activation, split_rng
 
 
 class ASPLayer:
     """Params: ``asp_layer_{i}_weights/bias`` per attention MLP layer,
-    ``asp_w``/``asp_w0`` head, plus ``asp_dice_alpha_{i}`` when the Dice
-    activation is selected (reference DIN ctor args att_hidden_units,
-    att_activation, att_weight_normalization — DIN.py:20-60)."""
+    ``asp_w``/``asp_w0`` head, plus ``asp_dice_alpha_{i}`` and frozen
+    normalization moments ``asp_dice_mean_{i}``/``asp_dice_var_{i}`` when
+    the Dice activation is selected (reference DIN ctor args
+    att_hidden_units, att_activation, att_weight_normalization —
+    DIN.py:20-60). Training normalizes with batch moments (the paper's
+    mini-batch E[s]/Var[s]); inference uses the stored moments so serving
+    predictions are batch-composition-invariant (set them via
+    Trainer.calibrate, which runs at the end of fit)."""
 
     def __init__(
         self,
@@ -61,12 +66,25 @@ class ASPLayer:
                 params[f"{self.prefix}asp_dice_alpha_{i}"] = jnp.zeros(
                     (dims[i + 1],), dtype=jnp.float32
                 )
+                # frozen inference moments; never receive gradient (unused
+                # in the training path) — written by Trainer.calibrate
+                params[f"{self.prefix}asp_dice_mean_{i}"] = jnp.zeros(
+                    (dims[i + 1],), dtype=jnp.float32
+                )
+                params[f"{self.prefix}asp_dice_var_{i}"] = jnp.ones(
+                    (dims[i + 1],), dtype=jnp.float32
+                )
         params[f"{self.prefix}asp_w"] = glorot_normal(keys[-1], (dims[-1], 1))
         params[f"{self.prefix}asp_w0"] = jnp.zeros((1,), dtype=jnp.float32)
         return params
 
-    def apply(self, params, queries, keys, key_mask, training=True, rng=None):
-        """queries (B, k); keys (B, L, k); key_mask (B, L) bool."""
+    def apply(self, params, queries, keys, key_mask, training=True, rng=None,
+              moment_capture=None):
+        """queries (B, k); keys (B, L, k); key_mask (B, L) bool.
+
+        ``moment_capture``: optional dict filled with {moment param name:
+        traced batch-moment value} — Trainer.calibrate runs one training
+        forward with this to freeze inference moments."""
         B, L, k = keys.shape
         q = jnp.broadcast_to(queries[:, None, :], (B, L, k))
         x = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)  # (B, L, 4k)
@@ -78,7 +96,15 @@ class ASPLayer:
                 + params[f"{self.prefix}asp_layer_{i}_bias"]
             )
             if self.use_dice:
-                x = dice(x, params[f"{self.prefix}asp_dice_alpha_{i}"])
+                if training:
+                    mean, var = batch_moments(x)
+                    if moment_capture is not None:
+                        moment_capture[f"{self.prefix}asp_dice_mean_{i}"] = mean
+                        moment_capture[f"{self.prefix}asp_dice_var_{i}"] = var
+                else:
+                    mean = params[f"{self.prefix}asp_dice_mean_{i}"]
+                    var = params[f"{self.prefix}asp_dice_var_{i}"]
+                x = dice(x, params[f"{self.prefix}asp_dice_alpha_{i}"], mean, var)
             else:
                 x = self.activation(x)
 

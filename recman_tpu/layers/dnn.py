@@ -5,7 +5,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..utils import compute_hidden_units_s2, glorot_normal, l2_loss
-from .common import dropout, resolve_activation, split_rng
+from .common import batch_moments, dice, dropout, resolve_activation, split_rng
 
 
 def dnn_combine(inputs: list) -> jnp.ndarray:
@@ -30,6 +30,12 @@ class DNN:
     Dropout (keep-prob) is applied to the input (keep[0]) and after every
     activation (keep[i+1]) — layers.py:589-604; len(dropout) must be
     len(hidden_units) + 1.
+
+    ``activation="dice"`` (DIN paper §4.3, the reference's broken
+    activation.py:8-50) adds per-layer ``dnn_dice_alpha_{i}`` params plus
+    frozen inference moments ``dnn_dice_mean_{i}``/``dnn_dice_var_{i}``:
+    training normalizes with batch moments, inference with the stored
+    moments (batch-composition-invariant; see Trainer.calibrate).
     """
 
     def __init__(
@@ -48,7 +54,8 @@ class DNN:
         self.input_dim = input_dim
         self.hidden_units = tuple(hidden_units)
         self.dropout_keep = tuple(dropout_keep)
-        self.activation = resolve_activation(activation)
+        self.use_dice = activation == "dice"
+        self.activation = None if self.use_dice else resolve_activation(activation)
         self.l2_reg = l2_reg
         self.prefix = prefix
 
@@ -63,11 +70,21 @@ class DNN:
             params[f"{self.prefix}dnn_layer_{i}_bias"] = jnp.zeros(
                 (dims[i + 1],), dtype=jnp.float32
             )
+            if self.use_dice:
+                params[f"{self.prefix}dnn_dice_alpha_{i}"] = jnp.zeros(
+                    (dims[i + 1],), dtype=jnp.float32
+                )
+                params[f"{self.prefix}dnn_dice_mean_{i}"] = jnp.zeros(
+                    (dims[i + 1],), dtype=jnp.float32
+                )
+                params[f"{self.prefix}dnn_dice_var_{i}"] = jnp.ones(
+                    (dims[i + 1],), dtype=jnp.float32
+                )
         params[f"{self.prefix}dnn_w"] = glorot_normal(keys[-1], (dims[-1], 1))
         params[f"{self.prefix}dnn_w0"] = jnp.zeros((1,), dtype=jnp.float32)
         return params
 
-    def apply(self, params, inputs, training=True, rng=None):
+    def apply(self, params, inputs, training=True, rng=None, moment_capture=None):
         assert inputs.ndim == 2
         rngs = split_rng(rng, len(self.hidden_units) + 1)
 
@@ -77,7 +94,18 @@ class DNN:
                 y @ params[f"{self.prefix}dnn_layer_{i}_weights"]
                 + params[f"{self.prefix}dnn_layer_{i}_bias"]
             )
-            y = self.activation(y)
+            if self.use_dice:
+                if training:
+                    mean, var = batch_moments(y)
+                    if moment_capture is not None:
+                        moment_capture[f"{self.prefix}dnn_dice_mean_{i}"] = mean
+                        moment_capture[f"{self.prefix}dnn_dice_var_{i}"] = var
+                else:
+                    mean = params[f"{self.prefix}dnn_dice_mean_{i}"]
+                    var = params[f"{self.prefix}dnn_dice_var_{i}"]
+                y = dice(y, params[f"{self.prefix}dnn_dice_alpha_{i}"], mean, var)
+            else:
+                y = self.activation(y)
             y = dropout(rngs[i + 1], y, self.dropout_keep[i + 1], training)
 
         return y @ params[f"{self.prefix}dnn_w"] + params[f"{self.prefix}dnn_w0"]

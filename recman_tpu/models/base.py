@@ -29,6 +29,9 @@ class Model:
     # generic drivers (examples/model_zoo_ml.py) can filter them out of
     # schemas without behavior sequences
     requires_sequence = False
+    # models whose apply() accepts moment_capture (Dice batch-moment
+    # freezing — see Trainer.calibrate) set this
+    supports_moment_capture = False
 
     def __init__(self, feat_dict: FeatureSet, task="classification"):
         assert task in ("classification", "regression")

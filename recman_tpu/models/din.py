@@ -23,6 +23,7 @@ from .base import Model
 class DIN(Model):
     name = "din"
     requires_sequence = True
+    supports_moment_capture = True
 
     def __init__(self, feat_dict, hparams: dict | None = None, task="classification"):
         super().__init__(feat_dict, task)
@@ -57,7 +58,7 @@ class DIN(Model):
             input_dim=dnn_input_dim,
             hidden_units=hp[HP.DeepHiddenUnits],
             dropout_keep=hp[HP.DeepDropOut],
-            activation="relu" if hp[HP.DeepActivation] == "dice" else hp[HP.DeepActivation],
+            activation=hp[HP.DeepActivation],  # "dice" supported natively
             l2_reg=hp[HP.DeepL2Reg],
         )
         self.head = PredictionLayer(task)
@@ -72,7 +73,8 @@ class DIN(Model):
         params.update(self.head.init())
         return params
 
-    def apply(self, params, batch, training=True, rng=None, linear_override=None):
+    def apply(self, params, batch, training=True, rng=None, linear_override=None,
+              moment_capture=None):
         r_dnn, = split_rng(rng, 1)
         per_feat = self.embeddings.apply_dict(params, batch)
 
@@ -88,11 +90,17 @@ class DIN(Model):
             keys = per_feat[f.name]  # (B, L, k), padding rows zeroed
             mask = batch[f.name] >= 0
             pooled.append(
-                self.asp[f.name].apply(params, queries, keys, mask, training=training)
+                self.asp[f.name].apply(
+                    params, queries, keys, mask, training=training,
+                    moment_capture=moment_capture,
+                )
             )
 
         dnn_input = dnn_combine(towers + pooled + self.dense_columns(batch))
-        logit = self.dnn.apply(params, dnn_input, training=training, rng=r_dnn)
+        logit = self.dnn.apply(
+            params, dnn_input, training=training, rng=r_dnn,
+            moment_capture=moment_capture,
+        )
         return self.head.apply(params, logit)
 
     def l2(self, params):

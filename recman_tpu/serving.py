@@ -134,11 +134,11 @@ class Predictor:
         dequantized to f32 once at load, so the compiled function and its
         runtime numerics are unchanged apart from the quantization error.
 
-        Caveat: models using Dice activations (DIN defaults) compute
-        BATCH moments even at inference, so their outputs depend on batch
-        composition — export with the batch size you will serve at, and
-        expect the final padded chunk to differ slightly from unbatched
-        scoring (tests/test_serving_export.py documents this).
+        Models using Dice activations (DIN defaults) serve with FROZEN
+        normalization moments stored in params (written by
+        Trainer.calibrate, which fit runs automatically), so exported
+        predictions are independent of batch composition
+        (tests/test_serving_export.py enforces).
         """
         from jax import export as jax_export
 

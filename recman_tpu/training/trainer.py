@@ -188,6 +188,7 @@ class Trainer:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        last_chunk = None
         for epoch in range(1, epochs + 1):
             it = iter(chunks())
 
@@ -198,6 +199,8 @@ class Trainer:
                 chunk = next(it, None)
                 if chunk is None:
                     return None
+                nonlocal last_chunk
+                last_chunk = chunk  # Dice calibration sample (see below)
                 data, layout = self._to_device(chunk, chunk.get("y"))
                 n = int(len(next(iter(chunk.values()))))
                 seed = (self.random_seed + 7919 * epoch + c_i
@@ -226,6 +229,8 @@ class Trainer:
             log.info("fit_stream epoch %d: %d chunks, %d batches, "
                      "mean loss %.5f", epoch, c_i, batches,
                      total / max(batches, 1))
+            if last_chunk is not None:
+                self.calibrate(last_chunk)  # Dice moments (no-op w/o Dice)
         return self
 
     def predict_stream(self, chunks, training=False):
@@ -281,6 +286,59 @@ class Trainer:
         ps = self.predict_stream(one_chunk_iter(), training=training)
         y = np.concatenate(ys) if ys else np.zeros((0,), np.float32)
         return [metric(y, ps) for metric in self.metrics]
+
+    def calibrate(self, X, max_rows=65536) -> bool:
+        """Freeze Dice normalization moments into params.
+
+        Dice (DIN paper §4.3) normalizes with mini-batch moments during
+        training; a serving-safe inference path needs FIXED moments or
+        predictions depend on batch composition. This runs one
+        training-mode forward (dropout off: rng=None) over up to
+        ``max_rows`` rows of ``X`` (dataframe or encoded dict), captures
+        every Dice layer's batch moments, and writes them into the
+        ``*_dice_mean_*`` / ``*_dice_var_*`` params consumed when
+        training=False. fit/fit_stream call this before each epoch eval;
+        call it manually if you drive fit_on_batch yourself.
+
+        Returns True when the model has Dice moments and they were updated.
+        """
+        if not getattr(self.model, "supports_moment_capture", False):
+            return False
+        if not any("_dice_mean_" in k for k in self.state.params):
+            return False
+
+        if isinstance(X, dict):
+            n = len(next(iter(X.values())))
+            data = {k: np.asarray(v)[: min(n, max_rows)] for k, v in X.items()}
+        else:
+            Xs = X.iloc[:max_rows] if hasattr(X, "iloc") else X[:max_rows]
+            data = self.model.feat_dict.transform(Xs)
+        data.pop("y", None)
+        batch = {k: jnp.asarray(v) for k, v in data.items()}
+
+        # gather (possibly sharded) params to host once; the capture
+        # forward runs single-device (it is outside any mesh context)
+        params_host = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a)), self.state.params
+        )
+
+        def _capture(params, batch):
+            cap = {}
+            self.model.apply(
+                params, batch, training=True, rng=None, moment_capture=cap
+            )
+            return cap
+
+        cap = jax.jit(_capture)(params_host, batch)
+        new_params = dict(self.state.params)
+        for k, v in cap.items():
+            arr = jnp.asarray(np.asarray(v), dtype=jnp.float32)
+            old = self.state.params[k]
+            if hasattr(old, "sharding"):
+                arr = jax.device_put(arr, old.sharding)
+            new_params[k] = arr
+        self.state = self.state._replace(params=new_params)
+        return True
 
     def _eval_at_epoch(self, data_train, y_train, X_valid, y_valid, start_time,
                        epoch, layout=()):
@@ -392,6 +450,7 @@ class Trainer:
 
         if tb_logger is not None:
             tb_logger.trace_on(epoch=0)
+        self.calibrate(X_train)  # Dice moments for training=False evals
         eval_results = self._eval_at_epoch(
             data, y_np, X_valid, y_valid, time(), epoch=0, layout=layout
         )
@@ -485,6 +544,7 @@ class Trainer:
                         self, epoch_base + steps_per_epoch, epoch, mean_loss
                     )
 
+                self.calibrate(X_train)
                 eval_results = self._eval_at_epoch(
                     data, y_np, X_valid, y_valid, start_time, epoch=epoch,
                     layout=layout,

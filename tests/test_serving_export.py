@@ -136,11 +136,10 @@ class TestExportSequenceModels:
         fs["hist_items"] = SequenceFeat("hist_items", id_feat=item, max_len=4)
         fs.initialize(df)
 
-        # batch-independent activations: DIN's default Dice uses BATCH
-        # moments, so outputs legitimately differ across batch splits —
-        # exact parity needs relu/sigmoid towers
-        model = DIN(fs, {"deep_activation": "relu",
-                         "att_activation": "sigmoid"})
+        # DEFAULT Dice activations: inference uses frozen moments from
+        # params (Trainer.calibrate / layers), so exports are exact and
+        # batch-composition-invariant
+        model = DIN(fs)
         params = model.init_params(jax.random.PRNGKey(7))
         pred = Predictor(model, params, batch_size=16)
         d = pred.export(str(tmp_path), df, batch_size=10)  # padding path too
@@ -148,3 +147,49 @@ class TestExportSequenceModels:
         np.testing.assert_allclose(
             served.predict(df), pred.predict(df), rtol=1e-5, atol=1e-6
         )
+
+    def test_din_dice_predictions_batch_invariant(self, tmp_path):
+        """Serving-safe Dice: a trained+calibrated DIN scores each row the
+        same regardless of which rows accompany it (the round-2 caveat,
+        now fixed — VERDICT.md item 6)."""
+        import pandas as pd
+
+        from recman_tpu import FeatureSet, SequenceFeat, SparseFeat
+        from recman_tpu.examples.din_synthetic import make_data
+        from recman_tpu.models import DIN
+        from recman_tpu.training import Trainer
+
+        df = make_data(n=128, n_items=10, max_hist=4)
+        fs = FeatureSet()
+        item = SparseFeat("item_id", feat_size=len(np.unique(df.item_id.values)))
+        fs["item_id"] = item
+        fs["hist_items"] = SequenceFeat("hist_items", id_feat=item, max_len=4)
+        fs.initialize(df)
+
+        model = DIN(fs)  # default Dice in attention MLP and DNN
+        trainer = Trainer(model, {"learning_rate": 0.02, "optimizer": "adam"},
+                          epoch=1, batch_size=32, random_seed=2019)
+        trainer.fit(df, df["label"].values, random_seed_for_mini_batch=False)
+        # fit calibrated the moments; in-process predictions batch-invariant
+        full = trainer.predict(df)
+        half = np.concatenate(
+            [trainer.predict(df.iloc[:40]), trainer.predict(df.iloc[40:])]
+        )
+        np.testing.assert_allclose(full, half, rtol=1e-6, atol=1e-7)
+
+        # exported artifact: same invariance through the frozen forward
+        d = Predictor(model, trainer.params, batch_size=16).export(
+            str(tmp_path), df, batch_size=16
+        )
+        served = ExportedPredictor.load(d)
+        np.testing.assert_allclose(
+            served.predict(df),
+            np.concatenate([served.predict(df.iloc[:40]),
+                            served.predict(df.iloc[40:])]),
+            rtol=1e-6, atol=1e-7,
+        )
+        # and the moments are real (calibration actually ran)
+        assert any("_dice_mean_" in k for k in trainer.params)
+        m = [np.asarray(v) for k, v in trainer.params.items()
+             if "_dice_var_" in k]
+        assert any(not np.allclose(v, 1.0) for v in m), "moments never written"
