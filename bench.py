@@ -106,7 +106,7 @@ def step_cost_model(batch=BATCH_SIZE, n_cat=26, vocab=NUM_BUCKETS, k=16,
     return flops, bytes_total
 
 
-def main(fused=None):
+def main(fused=None, grad_kernel=None):
     import sys
 
     import jax
@@ -117,6 +117,11 @@ def main(fused=None):
     from recman_tpu.training import create_optimizer, init_state, make_train_step
     from recman_tpu.training.trainer import batch_indices
 
+    if grad_kernel is None:
+        # --segmat traces the step with the Pallas sorted segment-matmul
+        # embedding backward instead of the sorted-hint scatters (the
+        # ABAB lever VERDICT r2 item 3 asks to measure in context)
+        grad_kernel = "segmat" if "--segmat" in sys.argv else "scatter"
     if fused is None:
         # --fused benches the fused backward+Adam hot loop
         # (training/fused_adam.py). NOT the default: measured 237.6k vs
@@ -193,20 +198,24 @@ def main(fused=None):
         elapsed = time.perf_counter() - t0
         measured_steps = MEASURE_STEPS
     else:
+        from recman_tpu.ops import embedding as emb_ops
+
         packs = [
             jnp.asarray(idx_mat[(i * UNROLL) % len(idx_mat):][:UNROLL])
             for i in range(len(idx_mat) // UNROLL)
         ]
-        for i in range(max(WARMUP_STEPS // UNROLL, 2)):
-            state, losses = step_u(state, data, packs[i % len(packs)], layout)
-        float(losses[-1])
-        n_dispatch = MEASURE_STEPS // UNROLL
-        t0 = time.perf_counter()
-        for i in range(n_dispatch):
-            state, losses = step_u(state, data, packs[i % len(packs)], layout)
-        float(losses[-1])
-        elapsed = time.perf_counter() - t0
-        measured_steps = n_dispatch * UNROLL
+        # the grad_kernel context is consulted at TRACE time (first call)
+        with emb_ops.grad_kernel(grad_kernel):
+            for i in range(max(WARMUP_STEPS // UNROLL, 2)):
+                state, losses = step_u(state, data, packs[i % len(packs)], layout)
+            float(losses[-1])
+            n_dispatch = MEASURE_STEPS // UNROLL
+            t0 = time.perf_counter()
+            for i in range(n_dispatch):
+                state, losses = step_u(state, data, packs[i % len(packs)], layout)
+            float(losses[-1])
+            elapsed = time.perf_counter() - t0
+            measured_steps = n_dispatch * UNROLL
 
     examples_per_sec = measured_steps * BATCH_SIZE / elapsed
     sec_per_step = elapsed / measured_steps

@@ -156,3 +156,50 @@ class TestPermuteSizeSplit:
         for a, b in zip(g_batched, g_split):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-7)
+
+
+class TestGradKernelSelector:
+    """grad_kernel("segmat") must route the custom-vjp backwards through the
+    Pallas kernel with results identical to the scatter default."""
+
+    def test_single_lookup_segmat_matches_scatter(self):
+        from recman_tpu.ops.embedding import grad_kernel
+
+        rs = np.random.RandomState(3)
+        V, N, K = 60, 48, 8
+        table = jnp.asarray(rs.randn(V, K), dtype=jnp.float32)
+        ids = jnp.asarray(rs.randint(0, V, N), dtype=jnp.int32)
+        w = jnp.asarray(rs.randn(N, K), dtype=jnp.float32)
+
+        def loss(t):
+            return jnp.sum(embedding_lookup(t, ids) * w)
+
+        with fused_grad(True):
+            g_scatter = jax.grad(loss)(table)
+            with grad_kernel("segmat"):
+                g_segmat = jax.grad(loss)(table)
+        np.testing.assert_allclose(
+            np.asarray(g_segmat), np.asarray(g_scatter), rtol=1e-5, atol=1e-6
+        )
+
+    def test_multi_lookup_segmat_matches_scatter(self):
+        from recman_tpu.ops.embedding import grad_kernel
+
+        rs = np.random.RandomState(4)
+        V, N, K, T = 40, 32, 4, 3
+        tables = [jnp.asarray(rs.randn(V, K), dtype=jnp.float32) for _ in range(T)]
+        ids = [jnp.asarray(rs.randint(0, V, N), dtype=jnp.int32) for _ in range(T)]
+        ws = [jnp.asarray(rs.randn(N, K), dtype=jnp.float32) for _ in range(T)]
+
+        def loss(ts):
+            rows = embedding_lookup_multi(list(ts), ids)
+            return sum(jnp.sum(r * w) for r, w in zip(rows, ws))
+
+        with fused_grad(True):
+            g_scatter = jax.grad(loss)(tuple(tables))
+            with grad_kernel("segmat"):
+                g_segmat = jax.grad(loss)(tuple(tables))
+        for a, b in zip(g_segmat, g_scatter):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
