@@ -453,6 +453,33 @@ class DINHyperParams(BaseHyperParameters):
         self.add_param(self.DeepL2Reg, 0.00001)
 
 
+class DIENHyperParams(BaseHyperParameters):
+    """DIEN config (arXiv:1809.03672; completes the reference's gestured
+    sequence family, DIN.py:98-108)."""
+
+    EmbeddingSize = "embedding_size"
+    EmbeddingL2Reg = "embedding_l2_reg"
+    GruHidden = "gru_hidden"  # None -> embedding_size
+    GruL2Reg = "gru_l2_reg"
+    AuxLossWeight = "aux_loss_weight"  # paper's alpha; 0 disables
+    DeepHiddenUnits = "deep_hidden_units"
+    DeepDropOut = "deep_dropout"
+    DeepActivation = "deep_activation"
+    DeepL2Reg = "deep_l2_reg"
+
+    def __init__(self):
+        super().__init__()
+        self.add_param(self.EmbeddingSize, 8)
+        self.add_param(self.EmbeddingL2Reg, 0.00001)
+        self.add_param(self.GruHidden, None)
+        self.add_param(self.GruL2Reg, 0.00001)
+        self.add_param(self.AuxLossWeight, 0.0)
+        self.add_param(self.DeepHiddenUnits, (80, 40))
+        self.add_param(self.DeepDropOut, (1.0, 1.0, 1.0))
+        self.add_param(self.DeepActivation, "dice")
+        self.add_param(self.DeepL2Reg, 0.00001)
+
+
 class MaskNetHyperParams(BaseHyperParameters):
     """MaskNet config (arXiv:2102.07619; beyond-reference model)."""
 

@@ -69,7 +69,7 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="din", choices=["din", "bst"])
+    ap.add_argument("--model", default="din", choices=["din", "bst", "dien"])
     ap.add_argument("--epoch", type=int, default=None,
                     help="default: 3 for din, 15 for bst (the transformer "
                          "needs more passes than the tailored attention "
@@ -77,4 +77,4 @@ if __name__ == "__main__":
     args = ap.parse_args()
     main(model_name=args.model,
          epoch=args.epoch if args.epoch is not None
-         else (15 if args.model == "bst" else 3))
+         else (15 if args.model in ("bst", "dien") else 3))

@@ -5,6 +5,7 @@ from .bst import BST
 from .dcn import DCN
 from .dcn_v2 import DCNv2, GDCN
 from .deepfm import DeepFM
+from .dien import DIEN
 from .din import DIN
 from .dlrm import DLRM
 from .fibinet import FiBiNET
@@ -21,7 +22,7 @@ MODEL_REGISTRY = {
     m.name: m
     for m in (
         FM, FwFM, DeepFM, WideDeep, NFM, PNN, DCN, DCNv2, DLRM, XDeepFM, AFM,
-        DIN, BST, AutoInt, FiBiNET, MaskNet, FinalMLP, GDCN,
+        DIN, DIEN, BST, AutoInt, FiBiNET, MaskNet, FinalMLP, GDCN,
     )
 }
 
@@ -31,6 +32,7 @@ __all__ = [
     "BST",
     "DCN",
     "DCNv2",
+    "DIEN",
     "DIN",
     "DLRM",
     "DeepFM",

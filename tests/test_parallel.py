@@ -558,7 +558,7 @@ class TestSequenceModelsSharded:
     tied candidate/history tables ride the row-sharded lookup path and
     the attention/encoder math is pure batch-sharded dense work."""
 
-    @pytest.mark.parametrize("name", ["din", "bst"])
+    @pytest.mark.parametrize("name", ["din", "bst", "dien"])
     def test_learns_on_mesh(self, mesh81, name):
         import numpy as np
 
