@@ -95,6 +95,24 @@ def main(per_device_batch=4096, model_axis=1, num_buckets=100_000,
             "per_device": round(per_dev, 1),
             "efficiency_vs_1": round(per_dev / base_per_dev, 3),
         }
+        # analytic per-device collective bytes/step for this mesh
+        # (parallel/traffic.py; ABAB-checkable vs compiled HLO via
+        # tools/traffic_accounting.py)
+        from recman_tpu.parallel.traffic import collective_traffic_model
+
+        k = hp["embedding_size"]
+        dnn_dims = [26 * k + 13, *hp["deep_hidden_units"], 1]
+        dense_b = 4 * sum(a * b for a, b in zip(dnn_dims, dnn_dims[1:]))
+        t = collective_traffic_model(
+            n_tables=26, vocab=num_buckets + 1, k=k,
+            batch_local=per_device_batch, data_shards=d,
+            model_shards=model_axis, dense_param_bytes=dense_b,
+        )
+        row["traffic_MB_per_dev_step"] = {
+            "model_psum": round(t["model_axis"]["psum_bytes"] / 1e6, 2),
+            "model_dedup": round(t["model_axis"]["dedup_bytes"] / 1e6, 2),
+            "data_grad": round(t["data_axis"]["grad_allreduce_bytes"] / 1e6, 2),
+        }
         results.append(row)
         print(json.dumps(row), flush=True)
     return results

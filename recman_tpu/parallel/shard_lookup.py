@@ -90,7 +90,20 @@ def sharded_embedding_lookup(table, ids, mesh, shard_batch=True):
 
 
 def default_capacity(n: int, n_shards: int, factor: float = 4.0) -> int:
-    """Static per-shard unique-row bound: ceil(factor * N / S), clamped to N."""
+    """Static per-shard unique-row bound: ceil(factor * N / S), clamped to N.
+
+    factor=4.0 is a SAFETY default justified by measurement
+    (tools/traffic_accounting.py, 2026-08-20): Zipf-RANKED id streams
+    concentrate uniques up to 4.7x on one shard at S=8 (worst-table
+    max-owned 1426 vs 4N/S=4096 at N=8192 — 2.9x headroom). It is NOT a
+    traffic-optimal default: dedup beats psum only when capacity < N/S
+    (the capacity factor IS the dedup:psum traffic ratio —
+    parallel/traffic.py), which needs hashed/permuted row assignment
+    plus a measured capacity ~1.5x the sample's max per-shard uniques
+    (0.51·N/S measured for hashed streams). Pass ``dedup_capacity``
+    from a measured sample for the win; the overflow guard catches
+    underestimates.
+    """
     return min(n, -(-int(factor * n) // n_shards))
 
 

@@ -584,3 +584,41 @@ class TestSequenceModelsSharded:
         before = trainer.evaluate(df, y)[0]
         trainer.fit(df, y, random_seed_for_mini_batch=False)
         assert trainer.evaluate(df, y)[0] < before
+
+
+class TestTrafficAccounting:
+    """parallel/traffic.py: the analytic collective model and the HLO
+    counter agree with hand-computed ring costs."""
+
+    def test_analytic_model_hand_check(self):
+        from recman_tpu.parallel.traffic import collective_traffic_model
+
+        t = collective_traffic_model(
+            n_tables=2, vocab=1000, k=4, batch_local=100,
+            data_shards=4, model_shards=2, capacity=30,
+            dense_param_bytes=1000,
+        )
+        # psum: 2 * (1/2) * 100 * 4 * 4B * 2 tables = 3200
+        assert t["model_axis"]["psum_bytes"] == 3200
+        # dedup: 2 * (2-1) * 30 * 4 * 4B * 2 tables = 1920
+        assert t["model_axis"]["dedup_bytes"] == 1920
+        assert abs(t["model_axis"]["dedup_over_psum"] - 0.6) < 1e-9
+        assert t["model_axis"]["breakeven_capacity"] == 50
+        # data grad: 2 * (3/4) * (1000 + 2*(1000/2)*5*4) = 31500
+        assert t["data_axis"]["grad_allreduce_bytes"] == 31500.0
+
+    def test_hlo_parser_counts_collectives(self):
+        from recman_tpu.parallel.traffic import hlo_collective_bytes
+
+        hlo = """
+  %ag = f32[8,16]{1,0} all-gather(f32[4,16] %x), dimensions={0}
+  %ar.1 = bf16[100]{0} all-reduce(bf16[100] %y), to_apply=%add
+  %cp = f32[2,2]{1,0} collective-permute(f32[2,2] %z)
+  %done = f32[8,16] all-gather-done(f32[8,16] %ag)
+"""
+        h = hlo_collective_bytes(hlo)
+        assert h["counts"] == {"all-gather": 1, "all-reduce": 1,
+                               "collective-permute": 1}
+        assert h["output_bytes"]["all-gather"] == 8 * 16 * 4
+        assert h["output_bytes"]["all-reduce"] == 100 * 2
+        assert h["total_bytes"] == 512 + 200 + 16
