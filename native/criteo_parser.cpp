@@ -299,4 +299,42 @@ int64_t criteo_parse_range(const char* path, int64_t start_row,
   return parsed;
 }
 
+// Threaded column interleave: n_cols contiguous (n_rows,) 4-byte columns
+// -> one row-major (n_rows, n_cols) matrix. This is the hot host-side
+// "pack" of the streaming fit path (training/train_step.py pack_dataset):
+// numpy's np.stack is a single-threaded strided write measured at
+// 0.28 s per 262k x 26 chunk; this blocked multithreaded version is
+// memory-bandwidth-bound (~10-30 ms). Works for int32 and float32 alike
+// (pure 4-byte moves).
+int64_t pack_columns_32(const int32_t* const* cols, int32_t n_cols,
+                        int64_t n_rows, int32_t n_threads, int32_t* out) {
+  if (n_cols <= 0 || n_rows < 0) return -1;
+  int nt = n_threads > 0 ? n_threads
+                         : static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (nt > 32) nt = 32;
+  int64_t block = (n_rows + nt - 1) / nt;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * block;
+    int64_t hi = lo + block < n_rows ? lo + block : n_rows;
+    if (lo >= hi) break;
+    threads.emplace_back([=] {
+      // row-blocked so each (RB x n_cols) output tile stays in cache
+      // while every source column streams through it once
+      constexpr int64_t RB = 4096;
+      for (int64_t r0 = lo; r0 < hi; r0 += RB) {
+        int64_t r1 = r0 + RB < hi ? r0 + RB : hi;
+        for (int32_t c = 0; c < n_cols; ++c) {
+          const int32_t* src = cols[c];
+          int32_t* dst = out + c;
+          for (int64_t r = r0; r < r1; ++r) dst[r * n_cols] = src[r];
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  return n_rows;
+}
+
 }  // extern "C"

@@ -89,8 +89,35 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int32),
             ]
+            lib.pack_columns_32.restype = ctypes.c_int64
+            lib.pack_columns_32.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p), ctypes.c_int32,
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p,
+            ]
             _lib = lib
     return _lib
+
+
+def pack_columns_32(cols: list, n_threads: int = 0) -> np.ndarray:
+    """Interleave same-length 1-D 4-byte columns into (N, n_cols) with the
+    threaded native kernel. Columns must share one 4-byte dtype (int32 or
+    float32); raises NativeBuildError when no toolchain exists (callers
+    fall back to np.stack)."""
+    lib = get_lib()
+    n = len(cols[0])
+    dtype = cols[0].dtype
+    cols = [np.ascontiguousarray(c) for c in cols]
+    out = np.empty((n, len(cols)), dtype=dtype)
+    ptrs = (ctypes.c_void_p * len(cols))(
+        *[c.ctypes.data_as(ctypes.c_void_p).value for c in cols]
+    )
+    r = lib.pack_columns_32(
+        ptrs, len(cols), n, int(n_threads),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    assert r == n, r
+    return out
 
 
 def load_criteo_tsv_native(

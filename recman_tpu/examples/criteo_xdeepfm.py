@@ -14,6 +14,7 @@ import numpy as np
 
 import recman_tpu
 from recman_tpu.data import (
+    calibrated_criteo_arrays,
     create_criteo_features,
     load_criteo_tsv,
     synthetic_criteo_arrays,
@@ -26,7 +27,7 @@ log = logging.getLogger(__name__)
 
 def main(tsv=None, rows=200_000, num_buckets=100_000, epoch=1, batch_size=4096,
          learning_rate=0.001, embedding_size=16, native=True,
-         optimizer="adam"):
+         optimizer="adam", calibrated=False):
     recman_tpu.config_logger()
     feat_dict = create_criteo_features(num_buckets=num_buckets)
 
@@ -47,6 +48,12 @@ def main(tsv=None, rows=200_000, num_buckets=100_000, epoch=1, batch_size=4096,
             raw = load_criteo_tsv(tsv, max_rows=rows)
             y = raw.pop("y")
             data = feat_dict.transform(raw, y=y)
+    elif calibrated:
+        # published-stats-calibrated generator (data/criteo.py): Kaggle
+        # per-field cardinalities + missing rates, Bayes-optimal AUC
+        # ~0.8413 by construction — the quality-anchor proxy while real
+        # Criteo is egress-blocked (BASELINE.md round-3 note)
+        data = calibrated_criteo_arrays(rows, num_buckets=num_buckets)
     else:
         data = synthetic_criteo_arrays(rows, num_buckets=num_buckets)
 
@@ -72,8 +79,9 @@ def main(tsv=None, rows=200_000, num_buckets=100_000, epoch=1, batch_size=4096,
     )
     trainer.fit(train, train["y"])
     res = trainer.evaluate(valid, y_valid)
-    log.info("Criteo%s: VALID logloss=%.4f auc=%.4f",
-             " (synthetic)" if not tsv else "", res[0], res[1])
+    kind = "" if tsv else (" (calibrated synthetic)" if calibrated
+                           else " (synthetic)")
+    log.info("Criteo%s: VALID logloss=%.4f auc=%.4f", kind, res[0], res[1])
     return trainer, res
 
 
@@ -88,7 +96,11 @@ if __name__ == "__main__":
                     help="force the pandas TSV path")
     ap.add_argument("--optimizer", default="adam",
                     help="adam | rowwise_adam | adagrad | lamb | ...")
+    ap.add_argument("--calibrated", action="store_true",
+                    help="published-stats-calibrated synthetic generator "
+                         "(Bayes AUC ~0.8413) instead of the bench one")
     args = ap.parse_args()
     main(tsv=args.tsv, rows=args.rows, num_buckets=args.buckets,
          epoch=args.epoch, batch_size=args.batch_size,
-         native=not args.no_native, optimizer=args.optimizer)
+         native=not args.no_native, optimizer=args.optimizer,
+         calibrated=args.calibrated)

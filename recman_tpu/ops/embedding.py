@@ -230,6 +230,87 @@ def _segment_matmul_from_sorted(sids, sg, vocab_size: int, tile_v: int = 512,
     return grad[:vocab_size]
 
 
+def _segment_matmul_from_sorted_batched(sids, sg, vocab_size: int,
+                                        tile_v: int = 512,
+                                        chunk_n: int | None = None,
+                                        interpret: bool | None = None):
+    """Batched kernel: (T, N) sorted ids + (T, N, k) permuted cotangents
+    -> (T, vocab_size, k) dense grads in ONE pallas_call.
+
+    One kernel for all T same-shape tables instead of T per-table calls:
+    identical math, but a single Mosaic compile (the per-table form
+    lowers T separate kernels — ~19 min of remote compiles at T=26 on
+    this machine's tunnel) and one grid whose (table, tile) steps the
+    scheduler can pipeline.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, n, k = sg.shape
+    tile_v = min(tile_v, _round_up(vocab_size, 8))
+    v_pad = _round_up(vocab_size, tile_v)
+    if chunk_n is None:
+        chunk_n = _adaptive_chunk(n, tile_v, v_pad)
+    chunk_n = min(chunk_n, _round_up(n, 8))
+    num_tiles = v_pad // tile_v
+    n_pad = _round_up(n, chunk_n) + chunk_n
+
+    sids_p = jnp.full((t, n_pad, 1), v_pad, dtype=jnp.int32)
+    sids_p = sids_p.at[:, :n, 0].set(sids.astype(jnp.int32))
+    sg_p = jnp.zeros((t, n_pad, k), dtype=sg.dtype).at[:, :n].set(sg)
+
+    edges = jnp.arange(0, v_pad + tile_v, tile_v, dtype=jnp.int32)
+    bounds = jax.vmap(
+        lambda s: jnp.searchsorted(s, edges).astype(jnp.int32)
+    )(sids.astype(jnp.int32))  # (T, num_tiles + 1)
+
+    def kernel(bounds_ref, sids_ref, sg_ref, out_ref):
+        tbl = pl.program_id(0)
+        tile = pl.program_id(1)
+        base = tile * tile_v
+        start = bounds_ref[tbl, tile]
+        end = bounds_ref[tbl, tile + 1]
+        num_chunks = pl.cdiv(end - start, chunk_n)
+
+        def chunk_body(c, acc):
+            off = start + c * chunk_n
+            sid_chunk = sids_ref[0, pl.ds(off, chunk_n), :]  # (CHUNK, 1)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (chunk_n, tile_v), 1)
+            mask = (sid_chunk - base == rows).astype(sg_ref.dtype)
+            gc = sg_ref[0, pl.ds(off, chunk_n), :]  # (CHUNK, k)
+            return acc + jax.lax.dot_general(
+                mask, gc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        acc = jnp.zeros((tile_v, k), dtype=jnp.float32)
+        acc = jax.lax.fori_loop(0, num_chunks, chunk_body, acc)
+        out_ref[0, :, :] = acc.astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t, num_tiles),
+        in_specs=[
+            # per-table blocks; index depends only on the table axis so
+            # each table's sorted stream loads into VMEM once and stays
+            # for all of its vocab tiles (tile is the fast grid axis)
+            pl.BlockSpec((1, n_pad, 1), lambda tb, ti, b: (tb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, k), lambda tb, ti, b: (tb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_v, k), lambda tb, ti, b: (tb, ti, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    grad = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, v_pad, k), sg.dtype),
+        interpret=(jax.default_backend() != "tpu") if interpret is None else interpret,
+    )(bounds, sids_p, sg_p)
+    return grad[:, :vocab_size]
+
+
 @jax.custom_vjp
 def _lookup(table, ids):
     return jnp.take(table, ids, axis=0)
@@ -353,14 +434,12 @@ def _lookup_multi_bwd(res, gs):
         sg_rows = [sg[i] for i in range(t)]
 
     if _grad_kernel() == "segmat":
-        # shared batched sort/permute above; scatter-free Pallas kernel per
-        # table (disjoint per-table kernels run concurrently, like the
-        # per-table scatters they replace)
-        grads = tuple(
-            _segment_matmul_from_sorted(sids[i], sg_rows[i], vocab_size)
-            for i in range(t)
-        )
-        return grads, None
+        # shared batched sort/permute above; ONE batched scatter-free
+        # Pallas kernel across all tables (a per-table form lowers T
+        # separate Mosaic kernels — ~19 min of remote compiles at T=26)
+        sg_mat = jnp.stack(sg_rows)  # (T, N, k)
+        grads_b = _segment_matmul_from_sorted_batched(sids, sg_mat, vocab_size)
+        return tuple(grads_b[i] for i in range(t)), None
 
     dnums = jax.lax.ScatterDimensionNumbers(
         update_window_dims=(1,),

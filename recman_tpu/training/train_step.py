@@ -122,18 +122,28 @@ def pack_dataset(data: dict) -> tuple[dict, tuple]:
         start = sum(w for _, w in cols_by_key[key])
         cols_by_key[key].append((arr, width))
         layout.append((name, key, start, width, arr.ndim == 1))
-    # all-1-wide groups go through np.stack (the fastest numpy interleave
-    # measured for this shape: 0.28s vs 0.59s per-column assignment vs
-    # 1.5s concatenate-of-(N,1)-slices on 262k x 26 — this runs per chunk
-    # in the streaming fit path); mixed widths fall back to assignment
+    # all-1-wide groups interleave with the threaded native kernel when
+    # built (native/criteo_parser.cpp pack_columns_32 — this pack runs per
+    # chunk in the streaming fit path and np.stack's single-threaded
+    # strided write was its measured bottleneck: 0.28 s per 262k x 26
+    # chunk, BASELINE.md); np.stack is the no-toolchain fallback (itself
+    # the fastest numpy interleave measured: 0.28s vs 0.59s per-column
+    # assignment vs 1.5s concatenate). Mixed widths use assignment.
     for key, cols in cols_by_key.items():
         if not cols:
             continue
         dtype = np.int32 if key == PACKED_I32 else np.float32
         if all(w == 1 for _, w in cols):
-            packed[key] = np.stack(
-                [arr.astype(dtype, copy=False) for arr, _ in cols], axis=1
-            )
+            arrs = [arr.astype(dtype, copy=False) for arr, _ in cols]
+            if n is not None and n * len(arrs) >= 1 << 20:
+                try:
+                    from ..data.native_loader import pack_columns_32
+
+                    packed[key] = pack_columns_32(arrs)
+                    continue
+                except Exception:  # no toolchain / build failure
+                    pass
+            packed[key] = np.stack(arrs, axis=1)
             continue
         out = np.empty((n, sum(w for _, w in cols)), dtype=dtype)
         s = 0
