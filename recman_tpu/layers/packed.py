@@ -71,14 +71,22 @@ class PackedEmbeddingLinear:
         use_bias = emb.use_bias
         w = self._linear_w(params, training, override)
 
-        from ..ops.embedding import _dedup_ctx, _fused_apply_ctx
+        from ..ops.embedding import QuantTable, _dedup_ctx, _fused_apply_ctx
 
         # under the dedup all-to-all exchange, packed [table|bias|w]
         # temporaries would break the even row sharding the exchange
         # needs; run the towers unpacked so each (padded) table routes
-        # through the exchange directly
+        # through the exchange directly. Same for int8 QuantTable params
+        # (quantized serving): the packed f32 concat would defeat the
+        # gather-then-dequantize path
         fused = _fused_apply_ctx()
-        packable = [] if _dedup_ctx() is not None else self.packable
+        quant = any(
+            isinstance(
+                params.get(f"{emb.prefix}{f.name}_feat_embed"), QuantTable
+            )
+            for f in self.packable
+        )
+        packable = [] if (_dedup_ctx() is not None or quant) else self.packable
         packable_names = {f.name for f in packable}
 
         embeds_by_name, bias_by_name = {}, {}

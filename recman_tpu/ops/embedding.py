@@ -37,6 +37,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import threading
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -137,6 +138,50 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+class QuantTable(typing.NamedTuple):
+    """Symmetric per-row int8 embedding table for quantized SERVING.
+
+    Passed in place of an f32 (V, k) table inside a serving artifact's
+    params pytree (serving.py ``quantize_embeddings="runtime"``): the
+    table stays int8 in HBM and dequantization happens AFTER the gather,
+    per looked-up row — 4k/(k+4)x less HBM footprint and table read
+    traffic than dequantizing whole tables at load (k=16: 3.2x; the
+    scale column is f32 per row).
+    Lookup-only: no gradient path (inference artifacts never backprop).
+    """
+
+    q: object  # (V, k) int8
+    scale: object  # (V,) f32
+
+    @property
+    def dtype(self):  # layers consult table.dtype for mask casts
+        return self.scale.dtype
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+
+try:  # serving artifacts serialize pytrees containing QuantTable
+    from jax import export as _jax_export
+
+    _jax_export.register_namedtuple_serialization(
+        QuantTable, serialized_name="recman_tpu.QuantTable"
+    )
+except Exception:  # pragma: no cover - older jax without the registry
+    pass
+
+
+def quantize_table_int8(a):
+    """f32 (V, k) -> (int8 (V, k), f32 (V,) per-row symmetric scales)."""
+    import numpy as np
+
+    a = np.asarray(a)
+    scale = np.maximum(np.abs(a).max(axis=1) / 127.0, 1e-12).astype(np.float32)
+    q = np.clip(np.rint(a / scale[:, None]), -127, 127).astype(np.int8)
+    return q, scale
+
+
 def _adaptive_chunk(n: int, tile_v: int, v_pad: int, cap: int = 512) -> int:
     """Chunk rows per kernel step ≈ 2x the mean rows landing in one vocab
     tile (the fused-Adam sizing, training/fused_adam.py): the kernel's
@@ -230,23 +275,34 @@ def _segment_matmul_from_sorted(sids, sg, vocab_size: int, tile_v: int = 512,
     return grad[:vocab_size]
 
 
-def _segment_matmul_from_sorted_batched(sids, sg, vocab_size: int,
+def _segment_matmul_from_sorted_batched(sids, sg_t, vocab_size: int,
                                         tile_v: int = 512,
                                         chunk_n: int | None = None,
                                         interpret: bool | None = None):
-    """Batched kernel: (T, N) sorted ids + (T, N, k) permuted cotangents
-    -> (T, vocab_size, k) dense grads in ONE pallas_call.
+    """Batched kernel: (T, N) sorted ids + (T, k, N) TRANSPOSED permuted
+    cotangents -> (T, k, vocab_size) transposed dense grads in ONE
+    pallas_call.
 
     One kernel for all T same-shape tables instead of T per-table calls:
     identical math, but a single Mosaic compile (the per-table form
     lowers T separate kernels — ~19 min of remote compiles at T=26 on
     this machine's tunnel) and one grid whose (table, tile) steps the
     scheduler can pipeline.
+
+    Everything rides the FIELD-MAJOR layout (the Pallas rule that bit us
+    in NOTES.md: big dim on the 128-lane axis): ids live as (1, N) and
+    cotangents as (k, N) with N on lanes — the natural (N, 1)/(N, k)
+    layouts lane-pad 1 and k up to 128 in VMEM and blow the 16 MB scoped
+    budget (measured: 16.83M for the (N, 17) form at N=8192). The mask
+    is built as (TILE_V, CHUNK) directly against the (1, CHUNK) id slice,
+    so the kernel has NO internal transposes:
+
+        acc(k, TILE_V) += gc(k, CHUNK) @ mask(TILE_V, CHUNK)^T
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    t, n, k = sg.shape
+    t, k, n = sg_t.shape
     tile_v = min(tile_v, _round_up(vocab_size, 8))
     v_pad = _round_up(vocab_size, tile_v)
     if chunk_n is None:
@@ -255,9 +311,9 @@ def _segment_matmul_from_sorted_batched(sids, sg, vocab_size: int,
     num_tiles = v_pad // tile_v
     n_pad = _round_up(n, chunk_n) + chunk_n
 
-    sids_p = jnp.full((t, n_pad, 1), v_pad, dtype=jnp.int32)
-    sids_p = sids_p.at[:, :n, 0].set(sids.astype(jnp.int32))
-    sg_p = jnp.zeros((t, n_pad, k), dtype=sg.dtype).at[:, :n].set(sg)
+    sids_p = jnp.full((t, 1, n_pad), v_pad, dtype=jnp.int32)
+    sids_p = sids_p.at[:, 0, :n].set(sids.astype(jnp.int32))
+    sg_p = jnp.zeros((t, k, n_pad), dtype=sg_t.dtype).at[:, :, :n].set(sg_t)
 
     edges = jnp.arange(0, v_pad + tile_v, tile_v, dtype=jnp.int32)
     bounds = jax.vmap(
@@ -274,16 +330,19 @@ def _segment_matmul_from_sorted_batched(sids, sg, vocab_size: int,
 
         def chunk_body(c, acc):
             off = start + c * chunk_n
-            sid_chunk = sids_ref[0, pl.ds(off, chunk_n), :]  # (CHUNK, 1)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (chunk_n, tile_v), 1)
+            sid_chunk = sids_ref[0, :, pl.ds(off, chunk_n)]  # (1, CHUNK)
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_v, chunk_n), 0
+            )
+            # padded sids hold v_pad (matches no tile); no extra mask
             mask = (sid_chunk - base == rows).astype(sg_ref.dtype)
-            gc = sg_ref[0, pl.ds(off, chunk_n), :]  # (CHUNK, k)
+            gc = sg_ref[0, :, pl.ds(off, chunk_n)]  # (k, CHUNK)
             return acc + jax.lax.dot_general(
-                mask, gc, (((0,), (0,)), ((), ())),
+                gc, mask, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
-        acc = jnp.zeros((tile_v, k), dtype=jnp.float32)
+        acc = jnp.zeros((k, tile_v), dtype=jnp.float32)
         acc = jax.lax.fori_loop(0, num_chunks, chunk_body, acc)
         out_ref[0, :, :] = acc.astype(out_ref.dtype)
 
@@ -294,21 +353,21 @@ def _segment_matmul_from_sorted_batched(sids, sg, vocab_size: int,
             # per-table blocks; index depends only on the table axis so
             # each table's sorted stream loads into VMEM once and stays
             # for all of its vocab tiles (tile is the fast grid axis)
-            pl.BlockSpec((1, n_pad, 1), lambda tb, ti, b: (tb, 0, 0),
+            pl.BlockSpec((1, 1, n_pad), lambda tb, ti, b: (tb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, k), lambda tb, ti, b: (tb, 0, 0),
+            pl.BlockSpec((1, k, n_pad), lambda tb, ti, b: (tb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_v, k), lambda tb, ti, b: (tb, ti, 0),
+        out_specs=pl.BlockSpec((1, k, tile_v), lambda tb, ti, b: (tb, 0, ti),
                                memory_space=pltpu.VMEM),
     )
-    grad = pl.pallas_call(
+    grad_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t, v_pad, k), sg.dtype),
+        out_shape=jax.ShapeDtypeStruct((t, k, v_pad), sg_t.dtype),
         interpret=(jax.default_backend() != "tpu") if interpret is None else interpret,
     )(bounds, sids_p, sg_p)
-    return grad[:, :vocab_size]
+    return grad_t[:, :, :vocab_size]
 
 
 @jax.custom_vjp
@@ -367,7 +426,14 @@ def embedding_lookup(table, ids):
     tables); the explicit deduped all-to-all under a dedup_exchange
     context (SPMD, large row-sharded tables); otherwise plain jnp.take
     whose gather grad the XLA SPMD partitioner knows how to shard.
+    QuantTable tables gather int8 rows and dequantize AFTER the gather
+    (quantized serving; no gradient path).
     """
+    if isinstance(table, QuantTable):
+        flat = ids.reshape(-1)
+        rows = jnp.take(table.q, flat, axis=0).astype(table.scale.dtype)
+        rows = rows * jnp.take(table.scale, flat, axis=0)[:, None]
+        return rows.reshape(*ids.shape, table.q.shape[1])
     flat = ids.reshape(-1)
     ctx = _dedup_ctx()
     if ctx is not None:
@@ -426,20 +492,23 @@ def _lookup_multi_bwd(res, gs):
     ids_mat = jnp.stack([i.astype(jnp.int32) for i in ids_tuple])  # (T, N)
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (t, n))
     sids, order = jax.lax.sort_key_val(ids_mat, iota, dimension=1)
+
+    if _grad_kernel() == "segmat":
+        # ONE batched scatter-free Pallas kernel across all tables (a
+        # per-table form lowers T separate Mosaic kernels — ~19 min of
+        # remote compiles at T=26). The permute gathers straight into the
+        # kernel's transposed (T, k, N) layout — no separate transpose.
+        g_t = jnp.swapaxes(jnp.stack(gs), 1, 2)  # (T, k, N)
+        sg_t = jnp.take_along_axis(g_t, order[:, None, :], axis=2)
+        grads_b = _segment_matmul_from_sorted_batched(sids, sg_t, vocab_size)
+        return tuple(jnp.swapaxes(grads_b[i], 0, 1) for i in range(t)), None
+
     if n > PERMUTE_BATCHED_MAX_N:
         sg_rows = [jnp.take(g, order[i], axis=0) for i, g in enumerate(gs)]
     else:
         g_mat = jnp.stack(gs)  # (T, N, k)
         sg = jnp.take_along_axis(g_mat, order[:, :, None], axis=1)
         sg_rows = [sg[i] for i in range(t)]
-
-    if _grad_kernel() == "segmat":
-        # shared batched sort/permute above; ONE batched scatter-free
-        # Pallas kernel across all tables (a per-table form lowers T
-        # separate Mosaic kernels — ~19 min of remote compiles at T=26)
-        sg_mat = jnp.stack(sg_rows)  # (T, N, k)
-        grads_b = _segment_matmul_from_sorted_batched(sids, sg_mat, vocab_size)
-        return tuple(grads_b[i] for i in range(t)), None
 
     dnums = jax.lax.ScatterDimensionNumbers(
         update_window_dims=(1,),
@@ -497,7 +566,11 @@ def embedding_lookup_grouped(tables: list, ids_list: list) -> list:
 
     out: list = [None] * len(tables)
     for positions in by_shape.values():
-        if len(positions) == 1 or not _fused_active():
+        if (
+            len(positions) == 1
+            or not _fused_active()
+            or isinstance(tables[positions[0]], QuantTable)
+        ):
             for p in positions:
                 out[p] = embedding_lookup(tables[p], ids_list[p])
         else:

@@ -130,9 +130,16 @@ class Predictor:
 
         ``quantize_embeddings`` stores the (V, k) embedding tables as
         symmetric per-row int8 + f32 scales in the artifact (~4x smaller
-        on disk/network; tables dominate CTR checkpoint size). They are
-        dequantized to f32 once at load, so the compiled function and its
-        runtime numerics are unchanged apart from the quantization error.
+        on disk/network; tables dominate CTR checkpoint size):
+
+        - ``True``: load-time dequantization — the compiled function and
+          its runtime numerics are unchanged apart from the quantization
+          error, but serving HBM holds f32 tables again.
+        - ``"runtime"``: tables stay INT8 IN HBM at serve time; the
+          exported forward gathers int8 rows and dequantizes AFTER the
+          gather (ops.embedding.QuantTable) — 4k/(k+4)x smaller serving
+          table footprint and read traffic on top of the disk win, at
+          the same quantization error.
 
         Models using Dice activations (DIN defaults) serve with FROZEN
         normalization moments stored in params (written by
@@ -161,12 +168,44 @@ class Predictor:
                 params, batch, training=False, linear_override=override
             )
 
+        # quantize once; "runtime" traces the forward against QuantTable
+        # params so the int8 gather-then-dequantize is baked into the
+        # artifact's StableHLO
+        from .ops.embedding import QuantTable, quantize_table_int8
+
+        runtime_quant = quantize_embeddings == "runtime"
+
+        def _is_table(k, a):
+            return (
+                quantize_embeddings
+                and k.endswith("_feat_embed")
+                and a.ndim == 2
+                and a.dtype == np.float32
+            )
+
+        trace_params, stored, quantized = {}, {}, []
+        for k, v in self.params.items():
+            a = np.asarray(v)
+            if _is_table(k, a):
+                q, scale = quantize_table_int8(a)
+                stored[f"{k}::q8"] = q
+                stored[f"{k}::q8scale"] = scale
+                quantized.append(k)
+                trace_params[k] = (
+                    QuantTable(jnp.asarray(q), jnp.asarray(scale))
+                    if runtime_quant
+                    else v
+                )
+            else:
+                stored[k] = a
+                trace_params[k] = v
+
         batch_specs = {
             k: jax.ShapeDtypeStruct((bs,) + v.shape[1:], v.dtype)
             for k, v in sample.items()
         }
         param_specs = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), dict(self.params)
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), dict(trace_params)
         )
         kwargs = {}
         if platforms is not None:
@@ -180,25 +219,6 @@ class Predictor:
         with open(os.path.join(directory, EXPORT_BLOB), "wb") as f:
             f.write(exported.serialize())
 
-        stored, quantized = {}, []
-        for k, v in self.params.items():
-            a = np.asarray(v)
-            if (
-                quantize_embeddings
-                and k.endswith("_feat_embed")
-                and a.ndim == 2
-                and a.dtype == np.float32
-            ):
-                scale = np.maximum(
-                    np.abs(a).max(axis=1) / 127.0, 1e-12
-                ).astype(np.float32)
-                stored[f"{k}::q8"] = np.clip(
-                    np.rint(a / scale[:, None]), -127, 127
-                ).astype(np.int8)
-                stored[f"{k}::q8scale"] = scale
-                quantized.append(k)
-            else:
-                stored[k] = a
         np.savez(os.path.join(directory, EXPORT_PARAMS), **stored)
         # schema sidecar: JSON when every type round-trips (safe to load
         # from anywhere); pickle only as a fallback for custom
@@ -222,6 +242,9 @@ class Predictor:
             "batch_keys": sorted(sample),
             "platforms": list(exported.platforms),
             "quantized": quantized,
+            "quant_mode": "runtime" if runtime_quant else (
+                "load" if quantized else "none"
+            ),
         }
         with open(os.path.join(directory, EXPORT_META), "w") as f:
             json.dump(meta, f, indent=2)
@@ -245,6 +268,9 @@ class ExportedPredictor:
         from jax import export as jax_export
 
         directory = os.path.abspath(directory)
+        with open(os.path.join(directory, EXPORT_META)) as f:
+            meta = json.load(f)
+        runtime_quant = meta.get("quant_mode") == "runtime"
         with open(os.path.join(directory, EXPORT_BLOB), "rb") as f:
             exported = jax_export.deserialize(f.read())
         with np.load(os.path.join(directory, EXPORT_PARAMS)) as z:
@@ -255,9 +281,20 @@ class ExportedPredictor:
                 if k.endswith("::q8"):
                     name = k[: -len("::q8")]
                     scale = z[f"{name}::q8scale"]
-                    params[name] = (
-                        z[k].astype(np.float32) * scale[:, None]
-                    )
+                    if runtime_quant:
+                        # tables stay int8; the artifact's forward
+                        # dequantizes after the gather
+                        import jax.numpy as _jnp
+
+                        from .ops.embedding import QuantTable
+
+                        params[name] = QuantTable(
+                            _jnp.asarray(z[k]), _jnp.asarray(scale)
+                        )
+                    else:
+                        params[name] = (
+                            z[k].astype(np.float32) * scale[:, None]
+                        )
                 else:
                     params[k] = z[k]
         schema_json_path = os.path.join(directory, EXPORT_SCHEMA_JSON)
@@ -271,8 +308,6 @@ class ExportedPredictor:
             # code — only load artifacts from a trusted source
             with open(os.path.join(directory, EXPORT_SCHEMA), "rb") as f:
                 feat_dict = pickle.load(f)
-        with open(os.path.join(directory, EXPORT_META)) as f:
-            meta = json.load(f)
         return cls(exported.call, params, feat_dict, meta)
 
     def predict(self, X) -> np.ndarray:

@@ -119,6 +119,48 @@ class TestExportRoundtrip:
         np.testing.assert_allclose(got, want, atol=5e-3)
         assert not np.allclose(got, want, atol=1e-8)  # genuinely quantized
 
+    def test_runtime_quantized_lookup(self, tmp_path, synthetic_df,
+                                      synthetic_features):
+        """quantize_embeddings='runtime': tables stay int8 IN MEMORY at
+        serve time (gather-then-dequantize is inside the exported
+        forward), predictions within quantization error of f32."""
+        from recman_tpu.ops.embedding import QuantTable
+
+        model = MODEL_REGISTRY["xdeepfm"](synthetic_features,
+                                          {"embedding_size": 4})
+        params = model.init_params(jax.random.PRNGKey(3))
+        pred = Predictor(model, params, batch_size=8)
+        d32 = pred.export(str(tmp_path / "f32"), synthetic_df)
+        dr = pred.export(str(tmp_path / "rq8"), synthetic_df,
+                         quantize_embeddings="runtime")
+
+        s32 = ExportedPredictor.load(d32)
+        sr = ExportedPredictor.load(dr)
+        assert sr.meta["quant_mode"] == "runtime"
+        # serving params hold int8 tables — no f32 dequantized copy exists
+        qt = [v for v in sr.params.values() if isinstance(v, QuantTable)]
+        assert qt and all(np.asarray(t.q).dtype == np.int8 for t in qt)
+        f32_bytes = sum(
+            np.asarray(s32.params[k]).nbytes for k in sr.meta["quantized"]
+        )
+        q_bytes = sum(
+            np.asarray(t.q).nbytes + np.asarray(t.scale).nbytes for t in qt
+        )
+        assert q_bytes < f32_bytes / 1.8  # 4k/(k+4): 2x at k=4, 3.8x at k=16
+
+        want = s32.predict(synthetic_df)
+        got = sr.predict(synthetic_df)
+        np.testing.assert_allclose(got, want, atol=1e-2)
+        assert not np.allclose(got, want, atol=1e-8)
+        # and exact agreement with load-time dequantization (same rounded
+        # values, different placement of the multiply)
+        dq = pred.export(str(tmp_path / "q8"), synthetic_df,
+                         quantize_embeddings=True)
+        sq = ExportedPredictor.load(dq)
+        np.testing.assert_allclose(
+            got, sq.predict(synthetic_df), rtol=1e-5, atol=1e-6
+        )
+
 
 class TestExportSequenceModels:
     def test_din_export_roundtrip(self, tmp_path):
