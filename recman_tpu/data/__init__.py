@@ -6,7 +6,13 @@ from .criteo import (
     load_criteo_tsv,
     synthetic_criteo_arrays,
 )
-from .ml_100k import create_ml_features, get_data, get_ml_dataset
+from .ml_100k import (
+    add_history_feature,
+    create_ml_features,
+    create_ml_sequence_features,
+    get_data,
+    get_ml_dataset,
+)
 from .native_loader import load_criteo_tsv_native, load_criteo_tsv_range_native
 from .streaming import iter_array_chunks, iter_criteo_chunks
 
@@ -15,7 +21,9 @@ __all__ = [
     "INT_NAMES",
     "calibrated_criteo_arrays",
     "create_criteo_features",
+    "add_history_feature",
     "create_ml_features",
+    "create_ml_sequence_features",
     "get_data",
     "get_ml_dataset",
     "iter_array_chunks",

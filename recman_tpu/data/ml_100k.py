@@ -14,7 +14,13 @@ import os
 import numpy as np
 import pandas as pd
 
-from ..features import DenseFeat, FeatureSet, MultiValCsvFeat, SparseFeat
+from ..features import (
+    DenseFeat,
+    FeatureSet,
+    MultiValCsvFeat,
+    SequenceFeat,
+    SparseFeat,
+)
 
 DEFAULT_DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "data")
 
@@ -93,4 +99,59 @@ def create_ml_features(df_data, domains) -> FeatureSet:
     fs["age"] = DenseFeat("age", scaler="minmax")
     fs["genres"] = MultiValCsvFeat("genres", tags=tuple(domains["genres"]))
     fs.initialize(df_data)
+    return fs
+
+
+def add_history_feature(*dfs, max_len=10):
+    """Add a ``hist_items`` column (list of the user's previously-rated
+    item_ids, most recent last, truncated to ``max_len``) to each df.
+
+    Built TEMPORALLY over the union of the given frames (sorted by user
+    then timestamp), so a row's history contains only interactions that
+    happened strictly before it — the behavior sequence DIN/BST/DIEN
+    consume (beyond-reference: the reference's SequenceFeat is
+    unimplemented, inputs.py:443). Labels are never consulted; ties on
+    (user, timestamp) resolve by original row order. Returns the same
+    frames with the column added (copies).
+    """
+    import pandas as pd
+
+    tagged = []
+    for i, df in enumerate(dfs):
+        t = df[["user_id", "timestamp", "item_id"]].copy()
+        t["__src"] = i
+        t["__row"] = df.index
+        tagged.append(t)
+    union = pd.concat(tagged, ignore_index=True)
+    union = union.sort_values(
+        ["user_id", "timestamp", "__src", "__row"], kind="stable"
+    )
+
+    hist_by_rowkey: dict = {}
+    cur_user, cur_hist = None, []
+    for user, item, src, row in zip(
+        union["user_id"].values, union["item_id"].values,
+        union["__src"].values, union["__row"].values,
+    ):
+        if user != cur_user:
+            cur_user, cur_hist = user, []
+        hist_by_rowkey[(src, row)] = cur_hist[-max_len:]
+        cur_hist = cur_hist + [item]
+
+    out = []
+    for i, df in enumerate(dfs):
+        df = df.copy()
+        df["hist_items"] = [hist_by_rowkey[(i, r)] for r in df.index]
+        out.append(df)
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def create_ml_sequence_features(df_data, domains, max_len=10) -> FeatureSet:
+    """The canonical schema + a SequenceFeat over ``hist_items`` tied to
+    item_id's table — the schema the sequence family (DIN/BST/DIEN)
+    trains on for the ML-100K anchors."""
+    fs = create_ml_features(df_data, domains)
+    fs["hist_items"] = SequenceFeat(
+        "hist_items", id_feat=fs["item_id"], max_len=max_len
+    )
     return fs

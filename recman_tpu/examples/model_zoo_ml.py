@@ -13,7 +13,12 @@ import logging
 import pandas as pd
 
 import recman_tpu
-from recman_tpu.data import create_ml_features, get_ml_dataset
+from recman_tpu.data import (
+    add_history_feature,
+    create_ml_features,
+    create_ml_sequence_features,
+    get_ml_dataset,
+)
 from recman_tpu.models import MODEL_REGISTRY
 from recman_tpu.training import LogLoss, RocAucScore, Trainer
 
@@ -27,7 +32,17 @@ def run_model(model_name, frac=0.5, epoch=1, batch_size=128, hparams=None):
     df_train, df_valid, df_test, domains = get_ml_dataset(
         frac=frac, random_seed=RANDOM_SEED
     )
-    feat_dict = create_ml_features(pd.concat([df_train, df_valid]), domains)
+    if MODEL_REGISTRY[model_name].requires_sequence:
+        # sequence family (DIN/BST/DIEN): per-user previously-rated-item
+        # history, built temporally over all splits (data/ml_100k.py)
+        df_train, df_valid, df_test = add_history_feature(
+            df_train, df_valid, df_test
+        )
+        feat_dict = create_ml_sequence_features(
+            pd.concat([df_train, df_valid]), domains
+        )
+    else:
+        feat_dict = create_ml_features(pd.concat([df_train, df_valid]), domains)
 
     model_cls = MODEL_REGISTRY[model_name]
     hp = {"learning_rate": 0.001, "optimizer": "adam"}
@@ -50,9 +65,9 @@ def run_model(model_name, frac=0.5, epoch=1, batch_size=128, hparams=None):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="fm",
-                    choices=[m for m, cls in MODEL_REGISTRY.items()
-                             if not cls.requires_sequence])
+    # sequence models run too: run_model derives a per-user rated-item
+    # history SequenceFeat for them (add_history_feature)
+    ap.add_argument("--model", default="fm", choices=list(MODEL_REGISTRY))
     ap.add_argument("--frac", type=float, default=0.5)
     ap.add_argument("--epoch", type=int, default=1)
     ap.add_argument("--batch-size", type=int, default=128)

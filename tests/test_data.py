@@ -125,3 +125,61 @@ class TestCriteo:
             comb += m[ids]
         auc = RocAucScore()(y[h:], comb[h:])
         assert auc > 0.57, auc  # measured 0.60 on this seed
+
+
+class TestHistoryFeature:
+    """add_history_feature: temporal per-user rated-item histories for the
+    sequence family's ML-100K anchors (data/ml_100k.py)."""
+
+    def test_strictly_before_and_truncated(self):
+        import pandas as pd
+
+        from recman_tpu.data import add_history_feature
+
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 1, 2],
+            "timestamp": [10, 20, 30, 40, 5],
+            "item_id": [100, 101, 102, 103, 200],
+        })
+        out = add_history_feature(df, max_len=2)
+        assert out["hist_items"].tolist() == [
+            [], [100], [100, 101], [101, 102], []
+        ]
+
+    def test_temporal_across_splits(self):
+        import pandas as pd
+
+        from recman_tpu.data import add_history_feature
+
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1],
+            "timestamp": [10, 20, 30],
+            "item_id": [100, 101, 102],
+        })
+        # the later split's rows see the earlier split's interactions
+        d1, d2 = add_history_feature(df.iloc[:1], df.iloc[1:], max_len=5)
+        assert d1["hist_items"].tolist() == [[]]
+        assert d2["hist_items"].tolist() == [[100], [100, 101]]
+
+    def test_sequence_schema_ties_item_vocab(self):
+        import numpy as np
+        import pandas as pd
+
+        from recman_tpu.data import (
+            add_history_feature,
+            create_ml_sequence_features,
+            get_ml_dataset,
+        )
+
+        df_train, df_valid, df_test, domains = get_ml_dataset(frac=0.05)
+        df_train, df_valid, df_test = add_history_feature(
+            df_train, df_valid, df_test
+        )
+        fs = create_ml_sequence_features(
+            pd.concat([df_train, df_valid]), domains
+        )
+        assert fs["hist_items"].id_feat is fs["item_id"]
+        batch = fs.transform(df_train)
+        assert batch["hist_items"].shape == (len(df_train), 10)
+        # encoded histories use the item vocabulary (PAD=-1 elsewhere)
+        assert batch["hist_items"].max() < fs["item_id"].feat_size
