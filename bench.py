@@ -118,10 +118,15 @@ def main(fused=None, grad_kernel=None):
     from recman_tpu.training.trainer import batch_indices
 
     if grad_kernel is None:
-        # --segmat traces the step with the Pallas sorted segment-matmul
-        # embedding backward instead of the sorted-hint scatters (the
-        # ABAB lever VERDICT r2 item 3 asks to measure in context)
-        grad_kernel = "segmat" if "--segmat" in sys.argv else "scatter"
+        # default "auto" = the product default: the batched Pallas
+        # segment-matmul backward on TPU at k>=8, ABAB-measured faster
+        # than the sorted scatters in this exact step (581.1k vs 538.3k
+        # ex/s same-session, BASELINE.md round-3 trajectory — the
+        # VERDICT r2 item-3 measurement). --scatter opts back to the old
+        # default; --segmat forces the kernel everywhere.
+        grad_kernel = ("scatter" if "--scatter" in sys.argv
+                       else "segmat" if "--segmat" in sys.argv
+                       else "auto")
     if fused is None:
         # --fused benches the fused backward+Adam hot loop
         # (training/fused_adam.py). NOT the default: measured 237.6k vs

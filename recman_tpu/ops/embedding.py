@@ -73,11 +73,18 @@ def _fused_active() -> bool:
 @contextlib.contextmanager
 def grad_kernel(kind: str):
     """Select the dense-table-cotangent implementation while tracing:
-    "scatter" (default; sorted-hint scatter-add) or "segmat" (the Pallas
-    sorted segment-matmul — scatter-free; single-shard only, like every
-    fused path). Ignored when the fused backward is inactive."""
-    assert kind in ("scatter", "segmat"), kind
-    prev = getattr(_state, "grad_kernel", "scatter")
+    "auto" (default), "scatter" (sorted-hint scatter-add) or "segmat"
+    (the Pallas sorted segment-matmul — scatter-free; single-shard only,
+    like every fused path). Ignored when the fused backward is inactive.
+
+    "auto" routes the BATCHED multi-table backward through the segmat
+    kernel on TPU when k >= 8 — the regime ABAB-measured faster than the
+    sorted scatters IN the real step (581.1k vs 538.3k ex/s at the
+    headline config, BASELINE.md round-3 trajectory) — and keeps the
+    scatter elsewhere (single lookups, narrow k=1 linear slices:
+    unmeasured regimes stay on the proven path)."""
+    assert kind in ("auto", "scatter", "segmat"), kind
+    prev = getattr(_state, "grad_kernel", "auto")
     _state.grad_kernel = kind
     try:
         yield
@@ -86,7 +93,17 @@ def grad_kernel(kind: str):
 
 
 def _grad_kernel() -> str:
-    return getattr(_state, "grad_kernel", "scatter")
+    return getattr(_state, "grad_kernel", "auto")
+
+
+def _segmat_multi_active(k: int) -> bool:
+    """Should the batched multi-table backward use the segmat kernel?"""
+    kind = _grad_kernel()
+    if kind == "segmat":
+        return True
+    if kind == "scatter":
+        return False
+    return jax.default_backend() == "tpu" and k >= 8
 
 
 @contextlib.contextmanager
@@ -307,7 +324,12 @@ def _segment_matmul_from_sorted_batched(sids, sg_t, vocab_size: int,
     v_pad = _round_up(vocab_size, tile_v)
     if chunk_n is None:
         chunk_n = _adaptive_chunk(n, tile_v, v_pad)
-    chunk_n = min(chunk_n, _round_up(n, 8))
+    # Mosaic can only prove lane-dim dynamic slices in-bounds/aligned when
+    # offsets are static multiples of 128: chunks live on an ABSOLUTE
+    # chunk grid (off = c * chunk_n, chunk_n % 128 == 0) and each tile
+    # walks floor(start/chunk)..ceil(end/chunk) — boundary chunks over-read
+    # neighbors' rows, which the id==tile-range mask already zeroes
+    chunk_n = max(128, _round_up(min(chunk_n, _round_up(n, 8)), 128))
     num_tiles = v_pad // tile_v
     n_pad = _round_up(n, chunk_n) + chunk_n
 
@@ -326,10 +348,11 @@ def _segment_matmul_from_sorted_batched(sids, sg_t, vocab_size: int,
         base = tile * tile_v
         start = bounds_ref[tbl, tile]
         end = bounds_ref[tbl, tile + 1]
-        num_chunks = pl.cdiv(end - start, chunk_n)
+        c0 = start // chunk_n  # absolute chunk grid (alignment proof)
+        c1 = pl.cdiv(end, chunk_n)
 
         def chunk_body(c, acc):
-            off = start + c * chunk_n
+            off = pl.multiple_of(c * chunk_n, chunk_n)
             sid_chunk = sids_ref[0, :, pl.ds(off, chunk_n)]  # (1, CHUNK)
             rows = jax.lax.broadcasted_iota(
                 jnp.int32, (tile_v, chunk_n), 0
@@ -343,7 +366,7 @@ def _segment_matmul_from_sorted_batched(sids, sg_t, vocab_size: int,
             )
 
         acc = jnp.zeros((k, tile_v), dtype=jnp.float32)
-        acc = jax.lax.fori_loop(0, num_chunks, chunk_body, acc)
+        acc = jax.lax.fori_loop(c0, c1, chunk_body, acc)
         out_ref[0, :, :] = acc.astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -493,7 +516,7 @@ def _lookup_multi_bwd(res, gs):
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (t, n))
     sids, order = jax.lax.sort_key_val(ids_mat, iota, dimension=1)
 
-    if _grad_kernel() == "segmat":
+    if _segmat_multi_active(k):
         # ONE batched scatter-free Pallas kernel across all tables (a
         # per-table form lowers T separate Mosaic kernels — ~19 min of
         # remote compiles at T=26). The permute gathers straight into the

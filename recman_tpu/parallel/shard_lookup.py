@@ -201,8 +201,19 @@ def dedup_embedding_lookup(table, ids, mesh, capacity=None, shard_batch=True,
         mesh=mesh,
         in_specs=(P(MODEL_AXIS, None), batch_spec),
         out_specs=(batch_spec, P()),
-        # outputs are model-replicated via the all_gather, which the
-        # static varying-axes checker can't infer
+        # check_vma=False: the static varying-axes checker cannot infer
+        # that the outputs are model-replicated. Proof they are: (1) ids
+        # arrive model-REPLICATED (in_specs P(DATA) — no model axis), so
+        # the sort/dedup/owner/rank computation is identical on every
+        # model shard; (2) the only model-varying value, each shard's
+        # (capacity, k) buffer of owned rows, goes through all_gather
+        # over MODEL_AXIS, whose output is identical on every shard by
+        # construction; (3) everything after (fetch indices, masks,
+        # unsort permutation) is a function of (1) and (2) only. The
+        # overflow count is psum'd over DATA and computed from (1).
+        # Enforced empirically by the psum-vs-dedup-vs-dense equivalence
+        # tests (tests/test_parallel.py) and the driver's
+        # dryrun_multichip trajectory parity.
         check_vma=False,
     )(table, ids)
     if check_overflow:
