@@ -96,14 +96,22 @@ def _grad_kernel() -> str:
     return getattr(_state, "grad_kernel", "auto")
 
 
-def _segmat_multi_active(k: int) -> bool:
-    """Should the batched multi-table backward use the segmat kernel?"""
+def _segmat_multi_active(k: int, n: int) -> bool:
+    """Should the batched multi-table backward use the segmat kernel?
+
+    Auto limits: k >= 8 (measured regime; k=1 linear slices keep the
+    scatter) and n <= 32768 — the kernel holds both per-table streams
+    resident in VMEM (~(8 + roundup(k,8)+8 sublanes) * n_pad lanes * 4 B,
+    double-buffered), which crowds the 16 MB scoped budget past ~48k rows
+    at k=17; big-batch configs keep the measured per-table scatters
+    (PERMUTE_BATCHED_MAX_N regime) until a chunked-N kernel variant is
+    measured."""
     kind = _grad_kernel()
     if kind == "segmat":
         return True
     if kind == "scatter":
         return False
-    return jax.default_backend() == "tpu" and k >= 8
+    return jax.default_backend() == "tpu" and k >= 8 and n <= 32768
 
 
 @contextlib.contextmanager
@@ -516,7 +524,7 @@ def _lookup_multi_bwd(res, gs):
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (t, n))
     sids, order = jax.lax.sort_key_val(ids_mat, iota, dimension=1)
 
-    if _segmat_multi_active(k):
+    if _segmat_multi_active(k, n):
         # ONE batched scatter-free Pallas kernel across all tables (a
         # per-table form lowers T separate Mosaic kernels — ~19 min of
         # remote compiles at T=26). The permute gathers straight into the
