@@ -274,6 +274,10 @@ class ExportedPredictor:
         with open(os.path.join(directory, EXPORT_BLOB), "rb") as f:
             exported = jax_export.deserialize(f.read())
         with np.load(os.path.join(directory, EXPORT_PARAMS)) as z:
+            # jnp.asarray places every param on device ONCE at load —
+            # numpy params would re-transfer the full table set on every
+            # predict call (measured 166 MB/call through this machine's
+            # tunnel before this was caught by tools/bench_serving.py)
             params = {}
             for k in z.files:
                 if k.endswith("::q8scale"):
@@ -284,19 +288,17 @@ class ExportedPredictor:
                     if runtime_quant:
                         # tables stay int8; the artifact's forward
                         # dequantizes after the gather
-                        import jax.numpy as _jnp
-
                         from .ops.embedding import QuantTable
 
                         params[name] = QuantTable(
-                            _jnp.asarray(z[k]), _jnp.asarray(scale)
+                            jnp.asarray(z[k]), jnp.asarray(scale)
                         )
                     else:
-                        params[name] = (
+                        params[name] = jnp.asarray(
                             z[k].astype(np.float32) * scale[:, None]
                         )
                 else:
-                    params[k] = z[k]
+                    params[k] = jnp.asarray(z[k])
         schema_json_path = os.path.join(directory, EXPORT_SCHEMA_JSON)
         if os.path.exists(schema_json_path):
             from .features import schema_from_json
