@@ -345,10 +345,17 @@ def _segment_matmul_from_sorted_batched(sids, sg_t, vocab_size: int,
     sids_p = sids_p.at[:, 0, :n].set(sids.astype(jnp.int32))
     sg_p = jnp.zeros((t, k, n_pad), dtype=sg_t.dtype).at[:, :, :n].set(sg_t)
 
-    edges = jnp.arange(0, v_pad + tile_v, tile_v, dtype=jnp.int32)
-    bounds = jax.vmap(
-        lambda s: jnp.searchsorted(s, edges).astype(jnp.int32)
-    )(sids.astype(jnp.int32))  # (T, num_tiles + 1)
+    # bounds[t, e] = #ids whose vocab tile < e (== searchsorted(sids,
+    # e*tile_v) for sorted ids). vmapped searchsorted lowers to a binary-
+    # search while-loop measured at 0.71 ms/step (profile 2026-08-21);
+    # this one fused compare-reduce over the (T, E, N) broadcast streams
+    # in ~0.2 ms
+    tiles_of = sids.astype(jnp.int32) // tile_v  # (T, N)
+    edges_t = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.sum(
+        tiles_of[:, None, :] < edges_t[None, :, None], axis=2,
+        dtype=jnp.int32,
+    )  # (T, num_tiles + 1)
 
     def kernel(bounds_ref, sids_ref, sg_ref, out_ref):
         tbl = pl.program_id(0)
