@@ -96,22 +96,26 @@ def _grad_kernel() -> str:
     return getattr(_state, "grad_kernel", "auto")
 
 
-def _segmat_multi_active(k: int, n: int) -> bool:
+# Rows per segmat kernel call: the kernel holds both per-table streams
+# resident in VMEM (~(8 + roundup(k,8)+8 sublanes) * n_pad lanes * 4 B,
+# double-buffered), which crowds the 16 MB scoped budget past ~48k rows
+# at k=17. Bigger batches run as ceil(n/SEG) same-shape calls over
+# consecutive SORTED row segments (slices of sorted stay sorted) whose
+# dense grads sum — one Mosaic compile, bounded VMEM at any batch.
+SEGMAT_SEGMENT_N = 32_768
+
+
+def _segmat_multi_active(k: int) -> bool:
     """Should the batched multi-table backward use the segmat kernel?
 
-    Auto limits: k >= 8 (measured regime; k=1 linear slices keep the
-    scatter) and n <= 32768 — the kernel holds both per-table streams
-    resident in VMEM (~(8 + roundup(k,8)+8 sublanes) * n_pad lanes * 4 B,
-    double-buffered), which crowds the 16 MB scoped budget past ~48k rows
-    at k=17; big-batch configs keep the measured per-table scatters
-    (PERMUTE_BATCHED_MAX_N regime) until a chunked-N kernel variant is
-    measured."""
+    Auto limit: k >= 8 (measured regime; k=1 linear slices keep the
+    scatter)."""
     kind = _grad_kernel()
     if kind == "segmat":
         return True
     if kind == "scatter":
         return False
-    return jax.default_backend() == "tpu" and k >= 8 and n <= 32768
+    return jax.default_backend() == "tpu" and k >= 8
 
 
 @contextlib.contextmanager
@@ -531,14 +535,49 @@ def _lookup_multi_bwd(res, gs):
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (t, n))
     sids, order = jax.lax.sort_key_val(ids_mat, iota, dimension=1)
 
-    if _segmat_multi_active(k, n):
+    if _segmat_multi_active(k):
         # ONE batched scatter-free Pallas kernel across all tables (a
         # per-table form lowers T separate Mosaic kernels — ~19 min of
         # remote compiles at T=26). The permute gathers straight into the
         # kernel's transposed (T, k, N) layout — no separate transpose.
-        g_t = jnp.swapaxes(jnp.stack(gs), 1, 2)  # (T, k, N)
-        sg_t = jnp.take_along_axis(g_t, order[:, None, :], axis=2)
-        grads_b = _segment_matmul_from_sorted_batched(sids, sg_t, vocab_size)
+        if n > PERMUTE_BATCHED_MAX_N:
+            # the batched take_along_axis permute explodes past 32k rows
+            # (50 ms at 64k — see the constant's rationale); per-table
+            # 2-D gathers on the transposed streams stay linear
+            sg_t = jnp.stack([
+                jnp.take(jnp.swapaxes(g, 0, 1), order[i], axis=1)
+                for i, g in enumerate(gs)
+            ])  # (T, k, N)
+        else:
+            g_t = jnp.swapaxes(jnp.stack(gs), 1, 2)  # (T, k, N)
+            sg_t = jnp.take_along_axis(g_t, order[:, None, :], axis=2)
+        seg = SEGMAT_SEGMENT_N
+        if n <= seg:
+            grads_b = _segment_matmul_from_sorted_batched(
+                sids, sg_t, vocab_size
+            )
+        else:
+            # big batches: same-shape kernel calls over sorted segments,
+            # summed. Pad the tail segment with an above-vocab sentinel
+            # (never matches a tile; its zero cotangents are inert).
+            n_seg = -(-n // seg)
+            pad = n_seg * seg - n
+            sids_p = sids
+            sg_p = sg_t
+            if pad:
+                sids_p = jnp.pad(
+                    sids, ((0, 0), (0, pad)),
+                    constant_values=jnp.int32(2**30),
+                )
+                sg_p = jnp.pad(sg_t, ((0, 0), (0, 0), (0, pad)))
+            grads_b = None
+            for s in range(n_seg):
+                part = _segment_matmul_from_sorted_batched(
+                    sids_p[:, s * seg:(s + 1) * seg],
+                    sg_p[:, :, s * seg:(s + 1) * seg],
+                    vocab_size,
+                )
+                grads_b = part if grads_b is None else grads_b + part
         return tuple(jnp.swapaxes(grads_b[i], 0, 1) for i in range(t)), None
 
     if n > PERMUTE_BATCHED_MAX_N:

@@ -203,3 +203,30 @@ class TestGradKernelSelector:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
             )
+
+    def test_multi_lookup_segmat_segmented_big_n(self, monkeypatch):
+        """n > SEGMAT_SEGMENT_N splits into same-shape sorted segments
+        whose grads sum — must equal the scatter grad exactly."""
+        import recman_tpu.ops.embedding as emb
+        from recman_tpu.ops.embedding import grad_kernel
+
+        monkeypatch.setattr(emb, "SEGMAT_SEGMENT_N", 24)  # force 3 segments
+        monkeypatch.setattr(emb, "PERMUTE_BATCHED_MAX_N", 32)  # per-table permutes
+        rs = np.random.RandomState(5)
+        V, N, K, T = 50, 70, 8, 3  # N deliberately not a segment multiple
+        tables = [jnp.asarray(rs.randn(V, K), dtype=jnp.float32) for _ in range(T)]
+        ids = [jnp.asarray(rs.randint(0, V, N), dtype=jnp.int32) for _ in range(T)]
+        ws = [jnp.asarray(rs.randn(N, K), dtype=jnp.float32) for _ in range(T)]
+
+        def loss(ts):
+            rows = embedding_lookup_multi(list(ts), ids)
+            return sum(jnp.sum(r * w) for r, w in zip(rows, ws))
+
+        with fused_grad(True):
+            g_scatter = jax.grad(loss)(tuple(tables))
+            with grad_kernel("segmat"):
+                g_segmat = jax.grad(loss)(tuple(tables))
+        for a, b in zip(g_segmat, g_scatter):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )

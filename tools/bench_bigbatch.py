@@ -33,7 +33,7 @@ UNROLL = 2  # fewer dispatches matter less at 30+ ms steps; 2 keeps
 # compile time and HBM for the 64k activations in check
 
 
-def main():
+def main(batches=(16_384, 32_768, 65_536), quality=True, cin_remat=False):
     feat_dict = create_criteo_features(num_buckets=NUM_BUCKETS)
     model = XDeepFM(
         feat_dict,
@@ -43,6 +43,7 @@ def main():
             "cin_dropout": (1, 1, 1),
             "deep_hidden_units": (400, 400),
             "deep_dropout": (1.0, 1.0, 1.0),
+            "cin_remat": cin_remat,
         },
     )
     rows = 262_144
@@ -50,7 +51,7 @@ def main():
     data, layout = pack_dataset(data)
     data = {k: jnp.asarray(v) for k, v in data.items()}
 
-    for batch in (16_384, 32_768, 65_536):
+    for batch in batches:
         opt = create_optimizer("adam", 1e-3)
         state = init_state(model, opt, jax.random.PRNGKey(0))
         step = make_train_step_unrolled(model, opt, UNROLL)
@@ -78,6 +79,8 @@ def main():
         del state, step, packs
     del data
 
+    if not quality:
+        return
     # quality at batch 16384, linear-scaled LR (2x), 1 epoch, 2M rows
     from recman_tpu.examples.criteo_xdeepfm import main as criteo_main
 
@@ -92,4 +95,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+",
+                    default=[16_384, 32_768, 65_536])
+    ap.add_argument("--no-quality", action="store_true")
+    ap.add_argument("--cin-remat", action="store_true",
+                    help="full-layer CIN remat (needed at batch 131072)")
+    args = ap.parse_args()
+    main(batches=tuple(args.batches), quality=not args.no_quality,
+         cin_remat=args.cin_remat)
