@@ -95,7 +95,7 @@ def main(batches=(16_384, 32_768, 65_536), quality=True, cin_remat=False):
 
 
 if __name__ == "__main__":
-import argparse
+    import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+",
