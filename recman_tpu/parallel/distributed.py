@@ -30,12 +30,16 @@ def initialize_cluster(coordinator_address=None, num_processes=None,
     """Initialize jax.distributed when running multi-process; returns
     whether a multi-process runtime is active. Safe to call on one host.
     """
+    # check the distributed client WITHOUT jax.process_count(): that call
+    # initializes the XLA backend, after which jax.distributed.initialize
+    # refuses to run (it must precede any backend touch)
     try:
-        already = jax.process_count() > 1
-    except Exception:
-        already = False
-    if already:
-        return True
+        from jax._src import distributed as _dist_state
+
+        if getattr(_dist_state.global_state, "client", None) is not None:
+            return jax.process_count() > 1
+    except ImportError:  # pragma: no cover - internal layout changed
+        pass
     if coordinator_address is None and num_processes is None:
         import os
 

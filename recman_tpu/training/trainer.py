@@ -535,6 +535,8 @@ class Trainer:
                         if i % batch_number_to_show_progress == 0:
                             log.debug("Fit: %d/%d batches", i + 1, idx.shape[0])
                     mean_loss = float(np.mean([float(l) for l in losses]))
+                self.last_mean_loss = mean_loss  # inspectable (e.g. the
+                # multi-process demo compares it across processes)
                 log.info(
                     "Fit epoch %d: %d batches, mean loss %.5f",
                     epoch, idx.shape[0], mean_loss,
