@@ -305,7 +305,7 @@ def _segment_matmul_from_sorted(sids, sg, vocab_size: int, tile_v: int = 512,
 
 
 def _segment_matmul_from_sorted_batched(sids, sg_t, vocab_size: int,
-                                        tile_v: int = 512,
+                                        tile_v: int = 2048,
                                         chunk_n: int | None = None,
                                         interpret: bool | None = None):
     """Batched kernel: (T, N) sorted ids + (T, k, N) TRANSPOSED permuted
