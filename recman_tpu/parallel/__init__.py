@@ -8,6 +8,7 @@ from .mesh import (
     row_sharding,
 )
 from .shard_lookup import (
+    capacity_from_sample,
     dedup_embedding_lookup,
     sharded_embedding_lookup,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "MODEL_AXIS",
     "ShardedTrainer",
     "batch_sharding",
+    "capacity_from_sample",
     "dedup_embedding_lookup",
     "make_mesh",
     "make_sharded_eval_step",

@@ -102,9 +102,37 @@ def default_capacity(n: int, n_shards: int, factor: float = 4.0) -> int:
     plus a measured capacity ~1.5x the sample's max per-shard uniques
     (0.51·N/S measured for hashed streams). Pass ``dedup_capacity``
     from a measured sample for the win; the overflow guard catches
-    underestimates.
+    underestimates. ``capacity_from_sample`` computes exactly that.
     """
     return min(n, -(-int(factor * n) // n_shards))
+
+
+def capacity_from_sample(ids_by_table, n_shards: int, vocab: int,
+                         safety: float = 1.5) -> int:
+    """Data-driven dedup capacity from a HOST batch sample.
+
+    The dedup:psum traffic ratio IS capacity*S/N (parallel/traffic.py),
+    so a measured capacity — ``safety`` x the worst per-shard unique-row
+    count over the sampled tables — is what actually realizes the
+    exchange's bandwidth win (the 4N/S default is a 2.9x-headroom safety
+    bound for ranked vocabularies; ~12x oversized for hashed ones —
+    measured numbers in docs/sharding_guide.md). Use a sample with the
+    PRODUCTION per-data-shard batch size; the runtime overflow guard
+    catches under-estimates rather than corrupting training.
+
+    ``ids_by_table``: iterable of 1-D id arrays (one per sharded table).
+    """
+    import numpy as np
+
+    rows_per = -(-vocab // n_shards)
+    worst = 1
+    for ids in ids_by_table:
+        uniq = np.unique(np.asarray(ids).reshape(-1))
+        owned = np.bincount(
+            np.clip(uniq // rows_per, 0, n_shards - 1), minlength=n_shards
+        )
+        worst = max(worst, int(owned.max()))
+    return int(np.ceil(worst * float(safety)))
 
 
 def _dedup_exchange(table_shard, ids_local, *, rows_per, n_shards, capacity,

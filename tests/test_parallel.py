@@ -622,3 +622,36 @@ class TestTrafficAccounting:
         assert h["output_bytes"]["all-gather"] == 8 * 16 * 4
         assert h["output_bytes"]["all-reduce"] == 100 * 2
         assert h["total_bytes"] == 512 + 200 + 16
+
+
+class TestCapacityFromSample:
+    def test_measured_capacity_and_dedup_equivalence(self, mesh24):
+        """capacity_from_sample sizes the exchange from real id spread;
+        the dedup lookup stays exact at that capacity."""
+        from recman_tpu.parallel.shard_lookup import (
+            capacity_from_sample,
+            dedup_embedding_lookup,
+        )
+        from recman_tpu.parallel.sharding import pad_vocab_for_mesh
+
+        rs = np.random.RandomState(2)
+        V = pad_vocab_for_mesh(1000, 4)
+        ids_np = rs.zipf(1.2, size=64) % 1000
+        cap = capacity_from_sample([ids_np], n_shards=4, vocab=V)
+        uniq = np.unique(ids_np)
+        rows_per = -(-V // 4)
+        worst = np.bincount(np.clip(uniq // rows_per, 0, 3), minlength=4).max()
+        assert cap == int(np.ceil(worst * 1.5))
+        assert cap <= 64
+
+        table = jnp.asarray(rs.randn(V, 8), dtype=jnp.float32)
+        sharded = jax.device_put(
+            table, jax.sharding.NamedSharding(mesh24, P(MODEL_AXIS, None))
+        )
+        ids = jnp.asarray(ids_np, dtype=jnp.int32)
+        out = dedup_embedding_lookup(sharded, ids, mesh24, capacity=cap,
+                                     shard_batch=False)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(jnp.take(table, ids, axis=0)),
+            rtol=1e-6,
+        )
