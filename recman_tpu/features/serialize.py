@@ -48,6 +48,18 @@ def _classes_to_json(classes: np.ndarray | None):
         return {"kind": "int", "values": [int(v) for v in classes.tolist()]}
     if kind == "f":
         return {"kind": "float", "values": [float(v) for v in classes.tolist()]}
+    if kind == "O":
+        # An object array holding non-str values (e.g. a pandas object
+        # column of ints) would round-trip with *string* keys and silently
+        # encode everything to OOV=0 after a JSON save/load. Refuse here so
+        # the caller falls back to the pickle sidecar instead.
+        bad = [v for v in classes.tolist() if not isinstance(v, str)]
+        if bad:
+            raise TypeError(
+                "object-dtype vocabulary contains non-str values "
+                f"(e.g. {bad[0]!r}); not JSON-serializable without changing "
+                "key types — use the pickle sidecar"
+            )
     return {"kind": "str", "values": [str(v) for v in classes.tolist()]}
 
 
@@ -183,7 +195,9 @@ def schema_from_json(s: str) -> FeatureSet:
     """Rebuild a FeatureSet from ``schema_to_json`` output. Pure data — no
     code execution."""
     obj = json.loads(s)
-    assert obj.get("version") == SCHEMA_VERSION, f"unknown schema version: {obj.get('version')}"
+    if obj.get("version") != SCHEMA_VERSION:
+        # not an assert: must survive `python -O`
+        raise ValueError(f"unknown schema version: {obj.get('version')}")
     fs = FeatureSet()
     for d in obj["features"]:
         t = d["type"]

@@ -36,7 +36,12 @@ from ..features import (
     SparseFeat,
     SparseValueFeat,
 )
-from ..ops.embedding import embedding_lookup, embedding_lookup_grouped
+from ..ops.embedding import (
+    _split_lookup_active,
+    embedding_lookup,
+    embedding_lookup_grouped,
+    packed_lookup_grouped,
+)
 
 
 class PackedEmbeddingLinear:
@@ -116,6 +121,24 @@ class PackedEmbeddingLinear:
                 + perts[feat.name]
                 for feat, ids in zip(packable, ids_mats)
             ]
+        elif _split_lookup_active():
+            # phase 1/2 (split form): gather table rows and vector columns
+            # SEPARATELY — no (V, k+m) packed concat ever materializes
+            # (ops.embedding._lookup_multi_split has the profile-measured
+            # rationale); output rows are identical to the concat form
+            tables, vec_cols = [], []
+            for feat in packable:
+                table = params[f"{emb.prefix}{feat.name}_feat_embed"]
+                tables.append(table[: feat.feat_size])
+                vv = []
+                if use_bias:
+                    vv.append(
+                        params[f"{emb.prefix}{feat.name}_feat_bias"][: feat.feat_size]
+                    )
+                off = lin.offsets[feat.name]
+                vv.append(w[off : off + feat.feat_size])
+                vec_cols.append(tuple(vv))
+            rows_list = packed_lookup_grouped(tables, vec_cols, ids_mats)
         else:
             # phase 1: build each feature's packed [table|bias|w] matrix
             packed_mats = []

@@ -96,6 +96,36 @@ def _grad_kernel() -> str:
     return getattr(_state, "grad_kernel", "auto")
 
 
+# "auto" default for the split-forward packed lookup (packed_lookup_grouped
+# vs concat-then-gather): measured on TPU 2026-08-21 — see BASELINE.md
+# round-4 trajectory before changing.
+SPLIT_LOOKUP_AUTO_TPU = False
+
+
+@contextlib.contextmanager
+def split_lookup(kind: str):
+    """Select how layers/packed.py assembles packed [table|vec...] rows
+    while tracing: "auto" (default), "on" (split per-part gathers, no
+    (V, k+m) packed concat — single-shard fused paths only) or "off"
+    (explicit concat + one gather)."""
+    assert kind in ("auto", "on", "off"), kind
+    prev = getattr(_state, "split_lookup", "auto")
+    _state.split_lookup = kind
+    try:
+        yield
+    finally:
+        _state.split_lookup = prev
+
+
+def _split_lookup_active() -> bool:
+    mode = getattr(_state, "split_lookup", "auto")
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return SPLIT_LOOKUP_AUTO_TPU and jax.default_backend() == "tpu"
+
+
 # Rows per segmat kernel call: the kernel holds both per-table streams
 # resident in VMEM (~(8 + roundup(k,8)+8 sublanes) * n_pad lanes * 4 B,
 # double-buffered), which crowds the 16 MB scoped budget past ~48k rows
@@ -516,6 +546,89 @@ def _lookup_multi_fwd(tables, ids_tuple):
 PERMUTE_BATCHED_MAX_N = 32_768
 
 
+def _batched_sort(ids_tuple):
+    """(tuple of (N,) ids) -> ((T, N) sorted ids, (T, N) sort order):
+    ONE batched sort shared by all same-shape tables."""
+    t = len(ids_tuple)
+    n = ids_tuple[0].shape[0]
+    ids_mat = jnp.stack([i.astype(jnp.int32) for i in ids_tuple])  # (T, N)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (t, n))
+    return jax.lax.sort_key_val(ids_mat, iota, dimension=1)
+
+
+def _permute_transposed(gs_t_list, order):
+    """Permute per-table TRANSPOSED (k, N) cotangent streams into sorted
+    order -> (T, k, N).
+
+    Size-dependent strategy: the batched take_along_axis amortizes small-N
+    op overheads, but past PERMUTE_BATCHED_MAX_N rows XLA lays the batched
+    gather out column-major behind a dynamic-update-slice (50 ms at 64k —
+    see the constant's rationale) while per-table 2-D gathers stay linear.
+    """
+    n = order.shape[1]
+    if n > PERMUTE_BATCHED_MAX_N:
+        return jnp.stack([
+            jnp.take(g_t, order[i], axis=1)
+            for i, g_t in enumerate(gs_t_list)
+        ])  # (T, k, N)
+    g_t = jnp.stack(gs_t_list)  # (T, k, N)
+    return jnp.take_along_axis(g_t, order[:, None, :], axis=2)
+
+
+def _segmat_batched_segmented(sids, sg_t, vocab_size):
+    """Batched segmat over sorted streams, segmented past
+    SEGMAT_SEGMENT_N rows (the kernel holds both per-table streams
+    resident in VMEM): same-shape kernel calls over consecutive SORTED
+    row segments whose dense grads sum — one Mosaic compile, bounded
+    VMEM at any batch. Returns (T, k, vocab_size) transposed grads."""
+    n = sids.shape[1]
+    seg = SEGMAT_SEGMENT_N
+    if n <= seg:
+        return _segment_matmul_from_sorted_batched(sids, sg_t, vocab_size)
+    # Pad the tail segment with an above-vocab sentinel (never matches a
+    # tile; its zero cotangents are inert).
+    n_seg = -(-n // seg)
+    pad = n_seg * seg - n
+    sids_p = sids
+    sg_p = sg_t
+    if pad:
+        sids_p = jnp.pad(
+            sids, ((0, 0), (0, pad)), constant_values=jnp.int32(2**30)
+        )
+        sg_p = jnp.pad(sg_t, ((0, 0), (0, 0), (0, pad)))
+    grads_b = None
+    for s in range(n_seg):
+        part = _segment_matmul_from_sorted_batched(
+            sids_p[:, s * seg:(s + 1) * seg],
+            sg_p[:, :, s * seg:(s + 1) * seg],
+            vocab_size,
+        )
+        grads_b = part if grads_b is None else grads_b + part
+    return grads_b
+
+
+def _scatter_sorted_rows(sids, sg_rows, vocab_size, k, dtype):
+    """Per-table sorted-hint scatter-adds (each keeps its
+    indices_are_sorted fast path; one global scatter serializes 5x —
+    NOTES.md dead ends). Returns tuple of (vocab_size, k) grads."""
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,),
+        inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0,),
+    )
+    return tuple(
+        jax.lax.scatter_add(
+            jnp.zeros((vocab_size, k), dtype),
+            sids[i][:, None],
+            sg_rows[i],
+            dnums,
+            indices_are_sorted=True,
+            unique_indices=False,
+        )
+        for i in range(len(sg_rows))
+    )
+
+
 def _lookup_multi_bwd(res, gs):
     """Backward with BATCHED sort + (size-dependent) permute across tables.
 
@@ -531,53 +644,17 @@ def _lookup_multi_bwd(res, gs):
     t = len(ids_tuple)
     n = ids_tuple[0].shape[0]
 
-    ids_mat = jnp.stack([i.astype(jnp.int32) for i in ids_tuple])  # (T, N)
-    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (t, n))
-    sids, order = jax.lax.sort_key_val(ids_mat, iota, dimension=1)
+    sids, order = _batched_sort(ids_tuple)
 
     if _segmat_multi_active(k):
         # ONE batched scatter-free Pallas kernel across all tables (a
         # per-table form lowers T separate Mosaic kernels — ~19 min of
         # remote compiles at T=26). The permute gathers straight into the
         # kernel's transposed (T, k, N) layout — no separate transpose.
-        if n > PERMUTE_BATCHED_MAX_N:
-            # the batched take_along_axis permute explodes past 32k rows
-            # (50 ms at 64k — see the constant's rationale); per-table
-            # 2-D gathers on the transposed streams stay linear
-            sg_t = jnp.stack([
-                jnp.take(jnp.swapaxes(g, 0, 1), order[i], axis=1)
-                for i, g in enumerate(gs)
-            ])  # (T, k, N)
-        else:
-            g_t = jnp.swapaxes(jnp.stack(gs), 1, 2)  # (T, k, N)
-            sg_t = jnp.take_along_axis(g_t, order[:, None, :], axis=2)
-        seg = SEGMAT_SEGMENT_N
-        if n <= seg:
-            grads_b = _segment_matmul_from_sorted_batched(
-                sids, sg_t, vocab_size
-            )
-        else:
-            # big batches: same-shape kernel calls over sorted segments,
-            # summed. Pad the tail segment with an above-vocab sentinel
-            # (never matches a tile; its zero cotangents are inert).
-            n_seg = -(-n // seg)
-            pad = n_seg * seg - n
-            sids_p = sids
-            sg_p = sg_t
-            if pad:
-                sids_p = jnp.pad(
-                    sids, ((0, 0), (0, pad)),
-                    constant_values=jnp.int32(2**30),
-                )
-                sg_p = jnp.pad(sg_t, ((0, 0), (0, 0), (0, pad)))
-            grads_b = None
-            for s in range(n_seg):
-                part = _segment_matmul_from_sorted_batched(
-                    sids_p[:, s * seg:(s + 1) * seg],
-                    sg_p[:, :, s * seg:(s + 1) * seg],
-                    vocab_size,
-                )
-                grads_b = part if grads_b is None else grads_b + part
+        sg_t = _permute_transposed(
+            [jnp.swapaxes(g, 0, 1) for g in gs], order
+        )
+        grads_b = _segmat_batched_segmented(sids, sg_t, vocab_size)
         return tuple(jnp.swapaxes(grads_b[i], 0, 1) for i in range(t)), None
 
     if n > PERMUTE_BATCHED_MAX_N:
@@ -587,22 +664,7 @@ def _lookup_multi_bwd(res, gs):
         sg = jnp.take_along_axis(g_mat, order[:, :, None], axis=1)
         sg_rows = [sg[i] for i in range(t)]
 
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1,),
-        inserted_window_dims=(0,),
-        scatter_dims_to_operand_dims=(0,),
-    )
-    grads = tuple(
-        jax.lax.scatter_add(
-            jnp.zeros((vocab_size, k), gs[0].dtype),
-            sids[i][:, None],
-            sg_rows[i],
-            dnums,
-            indices_are_sorted=True,
-            unique_indices=False,
-        )
-        for i in range(t)
-    )
+    grads = _scatter_sorted_rows(sids, sg_rows, vocab_size, k, gs[0].dtype)
     return grads, None
 
 
@@ -623,6 +685,134 @@ def embedding_lookup_multi(tables: list, ids_list: list) -> list:
     return [
         r.reshape(*i.shape, k) for r, i in zip(rows, ids_list)
     ]
+
+
+@jax.custom_vjp
+def _lookup_multi_split(tables, vecs, ids_tuple):
+    """Split-forward packed lookup: per table, gather (N, k) rows from the
+    (V, k) table AND each (V,) vector column separately, returning the
+    same (N, k + n_vec) packed rows a [table|vec...] concat-then-gather
+    would — WITHOUT ever materializing the (V, k + n_vec) packed matrix.
+
+    Why: the per-step packed concat costs ~0.63 ms/step at the bench
+    config, and, worse, forces a ~1.0 ms column-major -> row-major
+    relayout of all 26 packed matrices before the forward gathers (the
+    table params live column-major because the segmat backward's
+    transposed (k, V) grads feed Adam bitcast-free; profile 2026-08-21).
+    Gathering the parts separately reads the params in whatever layout
+    they live and pays only batch-sized concat writes (~0.1 ms).
+
+    The BACKWARD still rides the one batched packed segmat: the (N, k+m)
+    cotangents transpose/permute into (T, k+m, N) streams exactly as the
+    packed form's would, one kernel produces (T, k+m, V) transposed
+    grads, and the table/vector pieces split off as free row slices.
+    """
+    rows = []
+    for t, vs, i in zip(tables, vecs, ids_tuple):
+        parts = [jnp.take(t, i, axis=0)]
+        parts += [jnp.take(v, i)[:, None] for v in vs]
+        rows.append(jnp.concatenate(parts, axis=1))
+    return tuple(rows)
+
+
+def _lookup_multi_split_fwd(tables, vecs, ids_tuple):
+    return (
+        _lookup_multi_split(tables, vecs, ids_tuple),
+        (ids_tuple, tables[0].shape, len(vecs[0])),
+    )
+
+
+def _lookup_multi_split_bwd(res, gs):
+    ids_tuple, (vocab_size, k), n_vec = res
+    t = len(ids_tuple)
+    n = ids_tuple[0].shape[0]
+    k_eff = k + n_vec
+
+    sids, order = _batched_sort(ids_tuple)
+
+    if _segmat_multi_active(k_eff):
+        # cotangents arrive packed (N, k_eff) — the concat in the primal
+        # means g already carries the vec columns; transpose/permute/
+        # kernel exactly as the packed backward
+        sg_t = _permute_transposed(
+            [jnp.swapaxes(g, 0, 1) for g in gs], order
+        )
+        grads_b = _segmat_batched_segmented(sids, sg_t, vocab_size)
+        # (T, k_eff, V): rows :k are the table grad (transposed — the
+        # swapaxes is a layout bitcast into Adam's column-major params),
+        # row k+j is vector j's (V,) grad. Row slices of the row-major
+        # (k_eff, V) block are free.
+        table_grads = tuple(
+            jnp.swapaxes(grads_b[i, :k, :], 0, 1) for i in range(t)
+        )
+        vec_grads = tuple(
+            tuple(grads_b[i, k + j, :] for j in range(n_vec))
+            for i in range(t)
+        )
+        return table_grads, vec_grads, None
+
+    if n > PERMUTE_BATCHED_MAX_N:
+        sg_rows = [jnp.take(g, order[i], axis=0) for i, g in enumerate(gs)]
+    else:
+        g_mat = jnp.stack(gs)  # (T, N, k_eff)
+        sg = jnp.take_along_axis(g_mat, order[:, :, None], axis=1)
+        sg_rows = [sg[i] for i in range(t)]
+
+    packed = _scatter_sorted_rows(sids, sg_rows, vocab_size, k_eff,
+                                  gs[0].dtype)
+    table_grads = tuple(g[:, :k] for g in packed)
+    vec_grads = tuple(
+        tuple(g[:, k + j] for j in range(n_vec)) for g in packed
+    )
+    return table_grads, vec_grads, None
+
+
+_lookup_multi_split.defvjp(_lookup_multi_split_fwd, _lookup_multi_split_bwd)
+
+
+def packed_lookup_grouped(tables: list, vecs: list, ids_list: list) -> list:
+    """Packed [table|vec...] lookup across features WITHOUT materializing
+    per-feature packed matrices (see _lookup_multi_split).
+
+    ``tables``: per-feature (V, k) tables; ``vecs``: per-feature tuples of
+    (V,) vector columns (bias and/or linear w slice — every feature must
+    have the same number); ``ids_list``: per-feature int ids (any shape).
+    Returns per-feature (*ids.shape, k + n_vec) packed rows, exactly as a
+    concat-then-gather would produce.
+
+    Same-shape subsets share one batched sort/permute/segmat backward;
+    singletons and non-fused tracing fall back to the explicit concat +
+    embedding_lookup (the partitioner-friendly form).
+    """
+    assert len(tables) == len(vecs) == len(ids_list)
+    import collections
+
+    def _concat_fallback(p):
+        packed = jnp.concatenate(
+            [tables[p]] + [v[:, None] for v in vecs[p]], axis=1
+        )
+        return embedding_lookup(packed, ids_list[p])
+
+    by_shape = collections.defaultdict(list)
+    for pos, (t, i) in enumerate(zip(tables, ids_list)):
+        by_shape[(t.shape, i.shape, len(vecs[pos]))].append(pos)
+
+    out: list = [None] * len(tables)
+    for positions in by_shape.values():
+        if len(positions) == 1 or not _fused_active():
+            for p in positions:
+                out[p] = _concat_fallback(p)
+        else:
+            flat_ids = tuple(ids_list[p].reshape(-1) for p in positions)
+            rows = _lookup_multi_split(
+                tuple(tables[p] for p in positions),
+                tuple(vecs[p] for p in positions),
+                flat_ids,
+            )
+            k_eff = tables[positions[0]].shape[1] + len(vecs[positions[0]])
+            for p, r in zip(positions, rows):
+                out[p] = r.reshape(*ids_list[p].shape, k_eff)
+    return out
 
 
 def embedding_lookup_grouped(tables: list, ids_list: list) -> list:

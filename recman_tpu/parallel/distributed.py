@@ -36,7 +36,13 @@ def initialize_cluster(coordinator_address=None, num_processes=None,
     try:
         from jax._src import distributed as _dist_state
 
-        if getattr(_dist_state.global_state, "client", None) is not None:
+        state = getattr(_dist_state, "global_state", None)
+        if state is None:
+            # jax._src.distributed reorganized: we can no longer tell
+            # whether initialize already ran — fall through and let the
+            # guarded initialize below decide
+            raise ImportError("jax._src.distributed.global_state absent")
+        if getattr(state, "client", None) is not None:
             return jax.process_count() > 1
     except ImportError:  # pragma: no cover - internal layout changed
         pass
@@ -56,9 +62,17 @@ def initialize_cluster(coordinator_address=None, num_processes=None,
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(
-        initialization_timeout=timeout_s, **kwargs
-    )
+    try:
+        jax.distributed.initialize(
+            initialization_timeout=timeout_s, **kwargs
+        )
+    except RuntimeError as e:  # pragma: no cover - depends on jax internals
+        # "already initialized" can reach here if the pre-check above lost
+        # visibility into jax internals (ADVICE r3); degrade gracefully
+        if "already" in str(e).lower():
+            log.warning("jax.distributed already initialized: %s", e)
+        else:
+            raise
     log.info(
         "jax.distributed initialized: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),

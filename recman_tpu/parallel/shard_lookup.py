@@ -124,7 +124,13 @@ def capacity_from_sample(ids_by_table, n_shards: int, vocab: int,
     """
     import numpy as np
 
-    rows_per = -(-vocab // n_shards)
+    from .sharding import pad_vocab_for_mesh
+
+    # mirror the exchange's row ownership exactly: the exchange divides the
+    # mesh-PADDED vocab (place_params pads tables to a multiple of S), so
+    # sampling with the raw vocab would shift attribution near shard edges
+    # and can under-size capacity (ADVICE r3)
+    rows_per = pad_vocab_for_mesh(vocab, n_shards) // n_shards
     worst = 1
     for ids in ids_by_table:
         uniq = np.unique(np.asarray(ids).reshape(-1))

@@ -302,9 +302,25 @@ class Trainer:
 
         Returns True when the model has Dice moments and they were updated.
         """
+        has_dice = any("_dice_mean_" in k for k in self.state.params)
         if not getattr(self.model, "supports_moment_capture", False):
+            if has_dice:
+                # A model configured with activation="dice" but whose apply()
+                # doesn't thread moment_capture would silently serve with the
+                # never-written init moments (mean=0, var=1) — a train/serve
+                # normalization skew. Surface it instead of returning quietly.
+                import warnings
+
+                warnings.warn(
+                    f"{type(self.model).__name__} has Dice moment params but "
+                    "does not support moment capture: training=False "
+                    "eval/serving will use the untrained init moments "
+                    "(mean=0, var=1). Thread moment_capture through apply() "
+                    "and set supports_moment_capture=True.",
+                    stacklevel=2,
+                )
             return False
-        if not any("_dice_mean_" in k for k in self.state.params):
+        if not has_dice:
             return False
 
         if isinstance(X, dict):

@@ -225,6 +225,28 @@ class TestSchemaJson:
             assert fs[name].feat_size == fs2[name].feat_size, name
         assert fs2["hist"].id_feat is fs2["uid"]
 
+    def test_object_vocab_with_non_str_values_rejected(self):
+        # ADVICE r3: an object-dtype vocab of ints would round-trip with
+        # string keys and silently OOV everything — must raise instead so
+        # the pickle sidecar takes over
+        from recman_tpu import FeatureSet, SparseFeat, schema_to_json
+
+        fs = FeatureSet()
+        fs["c"] = SparseFeat("c")
+        df = pd.DataFrame({"c": pd.array([1, 2, 3], dtype=object)})
+        fs.initialize(df)
+        assert fs["c"].encoder.classes_.dtype.kind == "O"
+        with pytest.raises(TypeError, match="non-str"):
+            schema_to_json(fs)
+
+    def test_unknown_schema_version_raises_valueerror(self):
+        import json
+
+        from recman_tpu import schema_from_json
+
+        with pytest.raises(ValueError, match="unknown schema version"):
+            schema_from_json(json.dumps({"version": 999, "features": []}))
+
     def test_custom_scaler_rejected(self):
         from recman_tpu import DenseFeat, FeatureSet, schema_to_json
 

@@ -230,3 +230,90 @@ class TestGradKernelSelector:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
             )
+
+
+class TestSplitPackedLookup:
+    """packed_lookup_grouped (split forward, packed backward) must equal the
+    concat-then-gather form in values AND gradients, both kernel modes."""
+
+    def _setup(self, T=3, V=40, N=24, K=6, n_vec=2, seed=7):
+        rs = np.random.RandomState(seed)
+        tables = [jnp.asarray(rs.randn(V, K), dtype=jnp.float32)
+                  for _ in range(T)]
+        vecs = [tuple(jnp.asarray(rs.randn(V), dtype=jnp.float32)
+                      for _ in range(n_vec)) for _ in range(T)]
+        ids = [jnp.asarray(rs.randint(0, V, N), dtype=jnp.int32)
+               for _ in range(T)]
+        wts = [jnp.asarray(rs.randn(N, K + n_vec), dtype=jnp.float32)
+               for _ in range(T)]
+        return tables, vecs, ids, wts
+
+    def _losses(self, ids, wts):
+        from recman_tpu.ops.embedding import packed_lookup_grouped
+
+        def loss_split(tabs, vs):
+            rows = packed_lookup_grouped(list(tabs), list(vs), ids)
+            return sum(jnp.sum(r * w) for r, w in zip(rows, wts))
+
+        def loss_concat(tabs, vs):
+            rows = [
+                jnp.take(
+                    jnp.concatenate([t] + [v[:, None] for v in vv], axis=1),
+                    i, axis=0,
+                )
+                for t, vv, i in zip(tabs, vs, ids)
+            ]
+            return sum(jnp.sum(r * w) for r, w in zip(rows, wts))
+
+        return loss_split, loss_concat
+
+    @pytest.mark.parametrize("kernel", ["scatter", "segmat"])
+    def test_value_and_grads_match_concat(self, kernel):
+        from recman_tpu.ops.embedding import grad_kernel
+
+        tables, vecs, ids, wts = self._setup()
+        loss_split, loss_concat = self._losses(ids, wts)
+        with fused_grad(True), grad_kernel(kernel):
+            v1, (gt1, gv1) = jax.value_and_grad(loss_split, argnums=(0, 1))(
+                tuple(tables), tuple(vecs)
+            )
+        v2, (gt2, gv2) = jax.value_and_grad(loss_concat, argnums=(0, 1))(
+            tuple(tables), tuple(vecs)
+        )
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        for a, b in zip(gt1, gt2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        for va, vb in zip(gv1, gv2):
+            for a, b in zip(va, vb):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6)
+
+    def test_model_parity_split_vs_concat(self, synthetic_df, synthetic_features):
+        """Whole-model forward + grads identical under split_lookup('on')."""
+        from recman_tpu.models import XDeepFM
+        from recman_tpu.ops.embedding import split_lookup
+
+        model = XDeepFM(synthetic_features)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in synthetic_features.transform(
+                synthetic_df, y=synthetic_df["LABEL"].values
+            ).items()
+        }
+
+        def loss(p):
+            return model.loss(p, batch, training=False)
+
+        with fused_grad(True):
+            with split_lookup("on"):
+                v_split, g_split = jax.value_and_grad(loss)(params)
+            with split_lookup("off"):
+                v_concat, g_concat = jax.value_and_grad(loss)(params)
+        np.testing.assert_allclose(float(v_split), float(v_concat), rtol=1e-6)
+        for name in g_concat:
+            np.testing.assert_allclose(
+                np.asarray(g_split[name]), np.asarray(g_concat[name]),
+                rtol=1e-4, atol=1e-6, err_msg=name,
+            )
