@@ -29,11 +29,28 @@ class VocabEncoder:
     Equivalent of the reference's ResilientLabelEncoder (inputs.py:116-145):
     ``fit`` learns sorted unique classes mapped to 1..n, ``transform`` maps
     unknown values to 0.
+
+    ``shuffle_seed``: when set, the fitted id assignment is a seeded
+    PERMUTATION of the sorted order (OOV stays 0). This is the
+    sharded-embedding scaling lever: contiguous range partitioning of a
+    frequency- or lexicographically-RANKED vocabulary concentrates the hot
+    rows on one model shard (measured 4.7x unique-row skew at S=8 —
+    docs/sharding_guide.md), which defeats the capacity-bounded dedup
+    exchange; a shuffled assignment makes EVERY vocabulary behave like a
+    hashed one (1.15x skew, measured dedup:psum byte ratio 0.51) for any
+    mesh size. Encode-side relabeling keeps every consumer — lookups,
+    linear-w slices, weight overrides, checkpoints, serving artifacts —
+    consistent by construction, with zero device-side cost (the
+    alternative, physically permuting table rows per mesh, would need
+    id remapping at every lookup and break linear_w range slices).
+    Reference precedent for encode-side relabeling: the hash-bucket path,
+    inputs.py:361-371.
     """
 
-    def __init__(self):
+    def __init__(self, shuffle_seed: int | None = None):
         self.classes_: np.ndarray | None = None
         self._index: dict | None = None
+        self.shuffle_seed = shuffle_seed
 
     @property
     def vocab_size(self) -> int:
@@ -44,6 +61,9 @@ class VocabEncoder:
     def fit(self, values) -> "VocabEncoder":
         values = np.asarray(values)
         self.classes_ = np.unique(values)
+        if self.shuffle_seed is not None:
+            rs = np.random.RandomState(self.shuffle_seed)
+            self.classes_ = self.classes_[rs.permutation(len(self.classes_))]
         self._index = {v: i + 1 for i, v in enumerate(self.classes_.tolist())}
         return self
 
@@ -79,9 +99,12 @@ class MultiValVocabEncoder:
     SequenceFeat, inputs.py:439-441) and ``fit`` is a no-op.
     """
 
-    def __init__(self, encoder: VocabEncoder | None = None):
+    def __init__(self, encoder: VocabEncoder | None = None,
+                 shuffle_seed: int | None = None):
         self.need_fit = encoder is None
-        self._encoder = encoder if encoder is not None else VocabEncoder()
+        self._encoder = (
+            encoder if encoder is not None else VocabEncoder(shuffle_seed)
+        )
 
     @property
     def vocab_size(self) -> int:

@@ -378,9 +378,35 @@ class FeatureSet(OrderedDict):
         self[feat.name] = feat
         return feat
 
-    def initialize(self, X):
+    def initialize(self, X, shuffle_vocab: int | None = None):
         """Fit every feature's encoder/scaler on dataframe ``X``
-        (reference inputs.py:41-43)."""
+        (reference inputs.py:41-43).
+
+        ``shuffle_vocab``: when an int, every not-yet-fitted VocabEncoder
+        gets a deterministic per-feature ``shuffle_seed`` derived from it
+        before fitting — the one-switch form of the shuffled-vocabulary
+        scaling lever (see encoders.VocabEncoder): id assignment becomes a
+        seeded permutation so range-partitioned row-sharded tables spread
+        hot rows uniformly and the dedup exchange wins regardless of value
+        ranking. Neutral for quality (a relabeling of rows under iid init)
+        but changes encodings: fix the seed for reproducibility.
+        """
+        if shuffle_vocab is not None:
+            import zlib
+
+            from .encoders import MultiValVocabEncoder, VocabEncoder
+
+            for feat in self.values():
+                enc = getattr(feat, "encoder", None)
+                if isinstance(enc, MultiValVocabEncoder) and enc.need_fit:
+                    enc = enc._encoder
+                if (
+                    isinstance(enc, VocabEncoder)
+                    and enc.classes_ is None
+                ):
+                    enc.shuffle_seed = (
+                        shuffle_vocab + zlib.crc32(feat.name.encode())
+                    ) % (2**31)
         for feat in self.values():
             feat.initialize(X[feat.name])
 

@@ -79,11 +79,14 @@ def _vocab_encoder_to_json(enc: VocabEncoder):
             f"custom encoder {type(enc).__name__} is not JSON-serializable; "
             "use the pickle sidecar (trusted sources only)"
         )
-    return {"classes": _classes_to_json(enc.classes_)}
+    out = {"classes": _classes_to_json(enc.classes_)}
+    if getattr(enc, "shuffle_seed", None) is not None:
+        out["shuffle_seed"] = enc.shuffle_seed
+    return out
 
 
 def _vocab_encoder_from_json(obj) -> VocabEncoder:
-    enc = VocabEncoder()
+    enc = VocabEncoder(shuffle_seed=obj.get("shuffle_seed"))
     classes = _classes_from_json(obj["classes"])
     if classes is not None:
         enc.classes_ = classes

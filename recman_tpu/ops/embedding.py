@@ -97,8 +97,16 @@ def _grad_kernel() -> str:
 
 
 # "auto" default for the split-forward packed lookup (packed_lookup_grouped
-# vs concat-then-gather): measured on TPU 2026-08-21 — see BASELINE.md
-# round-4 trajectory before changing.
+# vs concat-then-gather): MEASURED SLOWER on TPU (tools/bench_r4.py ABAB
+# 2026-08-21: split 601.5k/656.8k vs concat 612.9k/666.6k ex/s median at
+# b=8192, batched/per-table permutes respectively). Killing the (V,17)
+# packed concat doesn't remove the column->row relayout — the (V,16)
+# table param still needs it for its own gather — and the 26 extra (V,)
+# w-vector gathers cost more than the concat they replace (same economics
+# the round-2 fm-path experiment hit, NOTES.md). Kept as an opt-in
+# because the backward it carries (packed-cotangent segmat with free
+# grad splits) is the right shape for future persistent-packed-storage
+# revisits.
 SPLIT_LOOKUP_AUTO_TPU = False
 
 
@@ -536,14 +544,17 @@ def _lookup_multi_fwd(tables, ids_tuple):
     return _lookup_multi(tables, ids_tuple), (ids_tuple, tables[0].shape)
 
 
-# Above this row count the cotangent permute runs per-table: the batched
-# (T, N, k) take_along_axis exists to amortize small-N op overheads
-# (26 separate sort+permutes cost ~4.3 ms at N=8192), but at N=65536 XLA
-# lays the batched gather out column-major behind a dynamic-update-slice
-# and it explodes to 50.4 ms/step (profiled 2026-08-20, TPU v5e — 30 vs
-# 5.7 ns/row); 26 clean 2-D gathers stay linear. The batched SORT is
-# cheap at every size and stays.
-PERMUTE_BATCHED_MAX_N = 32_768
+# Above this row count the cotangent permute runs per-table instead of as
+# one batched (T, ...) take_along_axis. Round-4 ABAB (tools/bench_r4.py,
+# 2026-08-21, TPU v5e): per-table permutes win at EVERY size — the one
+# batched gather serializes at ~5.8 ns/row while 26 concurrent per-table
+# gathers overlap (the forward side runs at ~1.6 ns/row), worth +8.8%
+# step throughput at b=8192 (666.6k vs 612.9k ex/s median) — so the
+# default is now 0 (always per-table). At N=65536 the batched form was
+# additionally pathological: XLA lays it out column-major behind a
+# dynamic-update-slice, 50.4 ms/step (profiled 2026-08-20, 30 ns/row).
+# The batched SORT is cheap at every size and stays.
+PERMUTE_BATCHED_MAX_N = 0
 
 
 def _batched_sort(ids_tuple):

@@ -107,8 +107,12 @@ def make_sharded_train_step(model, optimizer, mesh, local_gather=False,
         from ..ops.embedding import dedup_exchange
         from ..training.train_step import unpack_batch
 
+        # dedup_capacity may be a zero-arg callable read at TRACE time —
+        # the ShardedTrainer auto-capacity hook (capacity_from_sample on
+        # the first fit batch) sets it before the first step traces
+        cap = dedup_capacity() if callable(dedup_capacity) else dedup_capacity
         exchange = (
-            dedup_exchange(mesh, capacity=dedup_capacity,
+            dedup_exchange(mesh, capacity=cap,
                            threshold=row_shard_threshold)
             if embedding_exchange == "dedup" else contextlib.nullcontext()
         )
@@ -156,8 +160,9 @@ def make_sharded_train_epoch(model, optimizer, mesh, local_gather=False,
         from ..ops.embedding import dedup_exchange
         from ..training.train_step import unpack_batch
 
+        cap = dedup_capacity() if callable(dedup_capacity) else dedup_capacity
         exchange = (
-            dedup_exchange(mesh, capacity=dedup_capacity,
+            dedup_exchange(mesh, capacity=cap,
                            threshold=row_shard_threshold)
             if embedding_exchange == "dedup" else contextlib.nullcontext()
         )
@@ -238,8 +243,9 @@ def make_sharded_eval_scan(model, mesh, local_gather=False,
         from ..ops.embedding import dedup_exchange
         from ..training.train_step import unpack_batch
 
+        cap = dedup_capacity() if callable(dedup_capacity) else dedup_capacity
         exchange = (
-            dedup_exchange(mesh, capacity=dedup_capacity,
+            dedup_exchange(mesh, capacity=cap,
                            threshold=row_shard_threshold)
             if embedding_exchange == "dedup" else contextlib.nullcontext()
         )
@@ -329,31 +335,39 @@ class ShardedTrainer(Trainer):
         )
         self.embedding_exchange = embedding_exchange
         # dedup_capacity: static per-shard unique-row bound of the dedup
-        # exchange (None = ceil(4N/S)). Ownership is range-partitioned, so
-        # for NON-hashed id distributions set capacity explicitly (up to N
-        # for unconditional exactness) — overflowing rows come back as
-        # zeros; fit_on_batch validates the first batch via
-        # dedup_overflow_report and raises on overflow.
+        # exchange. None (default) = AUTO: capacity_from_sample on the
+        # first fit batch (1.5x the worst measured per-shard unique count
+        # — the capacity that actually realizes the exchange's bandwidth
+        # win; the old ceil(4N/S) safety bound is what untrained eval
+        # traces fall back to). Overflowing rows come back as zeros;
+        # fit_on_batch validates the first batch via dedup_overflow_report
+        # and raises on overflow. NOTE the capacity is baked at first
+        # trace: set it explicitly to retrace with a different bound.
+        # When dedup actually WINS: see docs/sharding_guide.md — the
+        # dedup:psum byte ratio IS capacity*S/N, so it needs id streams
+        # whose uniques spread evenly across shards (hashed vocabs, or
+        # FeatureSet.initialize(shuffle_vocab=...) for ranked ones).
         self.dedup_capacity = dedup_capacity
         self._dedup_checked = False
+        cap_getter = lambda: self.dedup_capacity  # noqa: E731 — read at trace
         self._train_step = make_sharded_train_step(
             model, self.optimizer, self.mesh, local_gather=dataset_sharded,
             embedding_exchange=embedding_exchange,
             row_shard_threshold=row_shard_threshold,
-            dedup_capacity=dedup_capacity,
+            dedup_capacity=cap_getter,
         )
         self._train_epoch = make_sharded_train_epoch(
             model, self.optimizer, self.mesh, local_gather=dataset_sharded,
             embedding_exchange=embedding_exchange,
             row_shard_threshold=row_shard_threshold,
-            dedup_capacity=dedup_capacity,
+            dedup_capacity=cap_getter,
         )
         self._eval_step = make_sharded_eval_step(model, self.mesh)
         self._eval_scan = make_sharded_eval_scan(
             model, self.mesh, local_gather=dataset_sharded,
             embedding_exchange=embedding_exchange,
             row_shard_threshold=row_shard_threshold,
-            dedup_capacity=dedup_capacity,
+            dedup_capacity=cap_getter,
         )
         self.state = shard_init_state(
             model, self.optimizer, jax.random.PRNGKey(random_seed), self.mesh,
@@ -370,18 +384,15 @@ class ShardedTrainer(Trainer):
         )
 
     # -- dedup-exchange capacity guard --------------------------------------
-    def dedup_overflow_report(self, data, idx, layout=()) -> dict:
-        """Host-side replica of the dedup exchange's capacity math on one
-        batch: {feature: overflow_count} for every lookup that would route
-        through dedup_embedding_lookup (shard_lookup.py zeroes overflowing
-        rows SILENTLY, so training must check — VERDICT r1 weak #6)."""
+    def _dedup_id_streams(self, data, idx, layout=()):
+        """Yield (label, flat_ids, vocab_rows) for every lookup of one
+        assembled batch that would route through dedup_embedding_lookup
+        (mirrors embedding_lookup's routing condition exactly)."""
         from ..features import MultiValCsvFeat, MultiValSparseFeat
         from ..training.train_step import unpack_batch
         from .mesh import MODEL_AXIS
-        from .shard_lookup import default_capacity
 
         model_n = self.mesh.shape[MODEL_AXIS]
-        data_n = self.mesh.shape[DATA_AXIS]
         if self.dataset_sharded:
             batch, _ = make_local_gather(self.mesh)(data, jnp.asarray(idx))
         else:
@@ -392,12 +403,51 @@ class ShardedTrainer(Trainer):
         # contiguous block, matching the per-group exchange
         batch = {k: np.asarray(v) for k, v in batch.items()}
 
-        def overflow(ids, vocab_rows):
-            # mirror embedding_lookup's routing condition exactly
-            if vocab_rows < self.row_shard_threshold or vocab_rows % model_n:
-                return None
+        def routed(vocab_rows):
+            return (vocab_rows >= self.row_shard_threshold
+                    and vocab_rows % model_n == 0)
+
+        seen = set()
+        emb = getattr(self.model, "embeddings", None)
+        if emb is not None:
+            for feat in emb.feats:
+                if not emb._owns_table(feat):
+                    continue
+                table = self.state.params[f"{emb.prefix}{feat.name}_feat_embed"]
+                if not routed(table.shape[0]):
+                    continue
+                ids = batch[feat.name]
+                if isinstance(feat, (MultiValCsvFeat, MultiValSparseFeat)):
+                    ids = np.maximum(ids, 0)
+                seen.add(feat.name)
+                yield feat.name, ids.reshape(-1), table.shape[0]
+        lin = getattr(self.model, "linear", None)
+        if lin is not None:
+            for feat in lin.feats:
+                if not hasattr(feat, "feat_size") or feat.name in seen:
+                    continue
+                ids = batch.get(feat.name)
+                if ids is None or ids.dtype.kind not in "iu":
+                    continue
+                if not routed(feat.feat_size):
+                    continue
+                yield (f"{feat.name}(linear)",
+                       np.maximum(ids, 0).reshape(-1), feat.feat_size)
+
+    def dedup_overflow_report(self, data, idx, layout=()) -> dict:
+        """Host-side replica of the dedup exchange's capacity math on one
+        batch: {feature: overflow_count} for every lookup that would route
+        through dedup_embedding_lookup (shard_lookup.py zeroes overflowing
+        rows SILENTLY, so training must check — VERDICT r1 weak #6)."""
+        from .mesh import MODEL_AXIS
+        from .shard_lookup import default_capacity
+
+        model_n = self.mesh.shape[MODEL_AXIS]
+        data_n = self.mesh.shape[DATA_AXIS]
+
+        report = {}
+        for label, flat, vocab_rows in self._dedup_id_streams(data, idx, layout):
             rows_per = vocab_rows // model_n
-            flat = ids.reshape(-1)
             n_local = flat.size // data_n
             cap = self.dedup_capacity
             cap = min(cap if cap else default_capacity(n_local, model_n),
@@ -408,33 +458,30 @@ class ShardedTrainer(Trainer):
                 owners = np.clip(np.unique(seg) // rows_per, 0, model_n - 1)
                 counts = np.bincount(owners, minlength=model_n)
                 total += int(np.maximum(counts - cap, 0).sum())
-            return total
-
-        report = {}
-        emb = getattr(self.model, "embeddings", None)
-        if emb is not None:
-            for feat in emb.feats:
-                if not emb._owns_table(feat):
-                    continue
-                table = self.state.params[f"{emb.prefix}{feat.name}_feat_embed"]
-                ids = batch[feat.name]
-                if isinstance(feat, (MultiValCsvFeat, MultiValSparseFeat)):
-                    ids = np.maximum(ids, 0)
-                ov = overflow(ids, table.shape[0])
-                if ov is not None:
-                    report[feat.name] = ov
-        lin = getattr(self.model, "linear", None)
-        if lin is not None:
-            for feat in lin.feats:
-                if not hasattr(feat, "feat_size") or feat.name in report:
-                    continue
-                ids = batch.get(feat.name)
-                if ids is None or ids.dtype.kind not in "iu":
-                    continue
-                ov = overflow(np.maximum(ids, 0), feat.feat_size)
-                if ov is not None:
-                    report[f"{feat.name}(linear)"] = ov
+            report[label] = total
         return report
+
+    def auto_dedup_capacity(self, data, idx, layout=(), safety=1.5) -> int:
+        """Data-driven dedup capacity from one assembled batch: 1.5x the
+        worst per-(data-shard, model-shard) unique-id count over every
+        dedup-routed lookup (shard_lookup.capacity_from_sample, applied
+        per data-shard segment — the granularity the exchange runs at).
+        fit_on_batch calls this on the FIRST batch when
+        ``dedup_capacity=None`` so the exchange is sized by measurement,
+        not the 4N/S safety bound (the ratio capacity*S/N IS the
+        dedup:psum traffic ratio)."""
+        from .mesh import MODEL_AXIS
+        from .shard_lookup import capacity_from_sample
+
+        model_n = self.mesh.shape[MODEL_AXIS]
+        data_n = self.mesh.shape[DATA_AXIS]
+        worst = 1
+        for _label, flat, vocab_rows in self._dedup_id_streams(data, idx, layout):
+            n_local = flat.size // data_n
+            segs = [flat[d * n_local: (d + 1) * n_local] for d in range(data_n)]
+            cap = capacity_from_sample(segs, model_n, vocab_rows, safety=safety)
+            worst = max(worst, cap)
+        return worst
 
     def _check_dedup_overflow(self, data, idx, layout=()):
         bad = {k: v for k, v in
@@ -452,6 +499,33 @@ class ShardedTrainer(Trainer):
         # validate capacity once per fit on the first real batch; the
         # exchange itself stays assertion-free (jit-compiled hot loop)
         if self.embedding_exchange == "dedup" and not self._dedup_checked:
+            if self.dedup_capacity is None:
+                # measure BEFORE the first train-step trace bakes it in
+                self.dedup_capacity = self.auto_dedup_capacity(
+                    data, idx, layout
+                )
+                from .mesh import MODEL_AXIS
+
+                model_n = self.mesh.shape[MODEL_AXIS]
+                n_local = self.batch_size // self.mesh.shape[DATA_AXIS]
+                breakeven = n_local / max(model_n, 1)
+                log.info(
+                    "dedup capacity auto-sized from first batch: %d "
+                    "(traffic ratio vs psum: %.2f)",
+                    self.dedup_capacity,
+                    self.dedup_capacity * model_n / max(n_local, 1),
+                )
+                if model_n > 1 and self.dedup_capacity >= breakeven:
+                    log.warning(
+                        "measured dedup capacity %d >= breakeven %d "
+                        "(capacity*S/N is the dedup:psum traffic ratio): "
+                        "this id distribution concentrates uniques on few "
+                        "shards, so embedding_exchange='psum' would move "
+                        "fewer bytes. For ranked vocabularies, encode with "
+                        "FeatureSet.initialize(shuffle_vocab=<seed>) to "
+                        "spread hot rows (docs/sharding_guide.md).",
+                        self.dedup_capacity, int(breakeven),
+                    )
             self._check_dedup_overflow(data, idx, layout)
             self._dedup_checked = True
         return super().fit_on_batch(data, idx, layout)

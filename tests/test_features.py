@@ -261,3 +261,78 @@ class TestSchemaJson:
         fs["d"] = DenseFeat("d", scaler=MyScaler())
         with pytest.raises(TypeError, match="not JSON-serializable"):
             schema_to_json(fs)
+
+
+class TestShuffledVocab:
+    """Seeded shuffled id assignment (the sharded-embedding scaling lever:
+    makes ranked vocabularies behave like hashed ones for range-partitioned
+    row sharding — encoders.VocabEncoder docstring)."""
+
+    def test_deterministic_bijection_oov_fixed(self):
+        from recman_tpu.features.encoders import VocabEncoder
+
+        vals = np.array([f"v{i:04d}" for i in range(500)])
+        e1 = VocabEncoder(shuffle_seed=7).fit(vals)
+        e2 = VocabEncoder(shuffle_seed=7).fit(vals)
+        plain = VocabEncoder().fit(vals)
+        ids1, ids2 = e1.transform(vals), e2.transform(vals)
+        np.testing.assert_array_equal(ids1, ids2)  # deterministic
+        # bijection over 1..n, OOV still 0
+        assert sorted(ids1.tolist()) == list(range(1, 501))
+        assert e1.transform(np.array(["UNSEEN"]))[0] == 0
+        assert e1.vocab_size == plain.vocab_size
+        # actually shuffled (not the sorted assignment)
+        assert ids1.tolist() != plain.transform(vals).tolist()
+        # inverse transform follows the shuffled assignment
+        back = e1.inverse_transform(ids1[:10])
+        np.testing.assert_array_equal(back, vals[:10])
+
+    def test_featureset_one_switch(self):
+        from recman_tpu import FeatureSet, SparseFeat, schema_from_json, schema_to_json
+
+        df = pd.DataFrame({
+            "a": [f"x{i}" for i in range(50)],
+            "b": [f"y{i}" for i in range(50)],
+        })
+        fs = FeatureSet()
+        fs["a"] = SparseFeat("a")
+        fs["b"] = SparseFeat("b")
+        fs.initialize(df, shuffle_vocab=123)
+        ta = fs.transform(df)
+        # distinct per-feature seeds -> distinct permutations
+        assert ta["a"].tolist() != ta["b"].tolist()
+        assert sorted(ta["a"].tolist()) == list(range(1, 51))
+        # JSON round-trip preserves the shuffled assignment
+        fs2 = schema_from_json(schema_to_json(fs))
+        tb = fs2.transform(df)
+        np.testing.assert_array_equal(ta["a"], tb["a"])
+        np.testing.assert_array_equal(ta["b"], tb["b"])
+
+    def test_spreads_ranked_hot_ids_across_shards(self):
+        """The point of the lever: a Zipf-RANKED stream concentrates
+        uniques on shard 0 under range partitioning; shuffled assignment
+        spreads them (so capacity_from_sample comes out ~U/S, making the
+        dedup exchange's byte ratio < 1)."""
+        from recman_tpu.features.encoders import VocabEncoder
+        from recman_tpu.parallel.shard_lookup import capacity_from_sample
+
+        rs = np.random.RandomState(0)
+        V, N, S = 8000, 4096, 8
+        # Zipf-distributed RANKS (hot values = low rank), values named so
+        # the sorted (unshuffled) encoder assigns ids in rank order
+        ranks = np.minimum(rs.zipf(1.3, N * 4), V - 1)[:N]
+        vals = np.array([f"v{r:06d}" for r in ranks])
+        fit_vals = np.array([f"v{r:06d}" for r in range(V)])
+
+        ranked = VocabEncoder().fit(fit_vals).transform(vals)
+        shuffled = VocabEncoder(shuffle_seed=1).fit(fit_vals).transform(vals)
+
+        cap_ranked = capacity_from_sample([ranked], S, V + 1)
+        cap_shuffled = capacity_from_sample([shuffled], S, V + 1)
+        u = len(np.unique(vals))
+        # ranked: hot rows contiguous -> one shard owns far more than U/S
+        assert cap_ranked > 2.5 * u / S, (cap_ranked, u)
+        # shuffled: near-even spread; 1.5x safety over ~U/S
+        assert cap_shuffled < 1.5 * 1.35 * u / S, (cap_shuffled, u)
+        # and the dedup:psum traffic ratio capacity*S/N dips below 1
+        assert cap_shuffled * S / N < 1.0

@@ -406,15 +406,32 @@ class TestDedupOverflowGuard:
             embedding_exchange="dedup", **kw,
         )
 
-    def test_skewed_ids_raise(self):
+    def test_skewed_ids_autosize_and_warn(self, caplog):
+        """With dedup_capacity=None the first batch AUTO-SIZES capacity
+        (capacity_from_sample), so skew no longer silently zeroes rows —
+        it trains exactly, and logs that psum would be cheaper."""
+        import logging
+
         mesh18 = make_mesh(data=1, model=8)
         fs, data = self._skewed_setup()
         t = self._trainer(fs, mesh18)
         dev, layout = t._to_device(data, data["y"])
         idx = np.arange(64, dtype=np.int32)
-        # 64 unique ids on one shard vs capacity ceil(4*64/8)=32
+        # 64 unique ids on one shard vs DEFAULT capacity ceil(4*64/8)=32
         report = t.dedup_overflow_report(dev, idx, layout)
         assert any(v > 0 for v in report.values()), report
+        with caplog.at_level(logging.WARNING, "recman_tpu.parallel.train_pjit"):
+            loss = t.fit_on_batch(dev, idx, layout)
+        assert np.isfinite(float(loss))
+        assert t.dedup_capacity is not None and t.dedup_capacity >= 64
+        assert any("breakeven" in r.message for r in caplog.records)
+
+    def test_explicit_undersized_capacity_raises(self):
+        mesh18 = make_mesh(data=1, model=8)
+        fs, data = self._skewed_setup()
+        t = self._trainer(fs, mesh18, dedup_capacity=8)
+        dev, layout = t._to_device(data, data["y"])
+        idx = np.arange(64, dtype=np.int32)
         with pytest.raises(ValueError, match="dedup"):
             t.fit_on_batch(dev, idx, layout)
 
@@ -654,4 +671,81 @@ class TestCapacityFromSample:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(jnp.take(table, ids, axis=0)),
             rtol=1e-6,
+        )
+
+
+class TestAutoCapacityShuffledVocab:
+    """Round-4 scaling lever end to end: shuffled-vocab encoding + the
+    auto-sized dedup exchange must (a) pick a small capacity from the
+    first batch and (b) train the exact same trajectory as psum."""
+
+    def _ranked_hot_data(self, n=256, vocab_classes=2047):
+        """Sparse string features whose values are Zipf-RANKED (value name
+        == frequency rank), so unshuffled encoding concentrates hot ids."""
+        rs = np.random.RandomState(0)
+        fit_vals = [f"v{r:05d}" for r in range(vocab_classes)]
+        cols = {}
+        for c in range(4):
+            ranks = np.minimum(rs.zipf(1.3, n), vocab_classes - 1)
+            cols[f"C{c}"] = [f"v{r:05d}" for r in ranks]
+        import pandas as pd
+
+        df = pd.DataFrame(cols)
+        fit_df = pd.DataFrame({k: fit_vals for k in cols})
+        df_all = pd.concat([fit_df, df], ignore_index=True)
+        y = rs.randint(0, 2, n).astype(np.float32)
+        return df_all, df, y
+
+    def _trainer(self, fs, mesh, **kw):
+        model = XDeepFM(fs, {"embedding_size": 4,
+                             "cin_cross_layer_units": (4, 4),
+                             "cin_dropout": (1, 1, 1),
+                             "deep_hidden_units": (8,),
+                             "deep_dropout": (1.0, 1.0)})
+        return ShardedTrainer(
+            model, hparams={"learning_rate": 0.01}, metrics=(LogLoss(),),
+            epoch=1, batch_size=256, random_seed=2019, mesh=mesh,
+            row_shard_threshold=1000, **kw,
+        )
+
+    def test_shuffled_dedup_autosizes_small_and_matches_psum(self, mesh24):
+        # enough rows per data shard (256/2=128) that Zipf duplication makes
+        # dedup winnable: sub-breakeven needs N >> uniques-per-shard
+        df_all, df, y = self._ranked_hot_data(n=1024)
+
+        def build_fs(shuffle):
+            fs = FeatureSet()
+            for c in range(4):
+                fs[f"C{c}"] = SparseFeat(f"C{c}")
+            fs.initialize(df_all, shuffle_vocab=shuffle)
+            return fs
+
+        fs = build_fs(7)
+        data = fs.transform(df, y=y)
+        t_dedup = self._trainer(fs, mesh24, embedding_exchange="dedup")
+        t_psum = self._trainer(fs, mesh24, embedding_exchange="psum")
+        t_dedup.fit(data, y, random_seed_for_mini_batch=False)
+        t_psum.fit(data, y, random_seed_for_mini_batch=False)
+        # auto-capacity fired and chose a sub-breakeven bound
+        model_n = mesh24.shape[MODEL_AXIS]
+        n_local = 256 // mesh24.shape[DATA_AXIS]
+        assert t_dedup.dedup_capacity is not None
+        assert t_dedup.dedup_capacity * model_n / n_local < 1.0, (
+            t_dedup.dedup_capacity
+        )
+        # identical predictions (the exchange is exact at the sampled cap)
+        p0 = t_psum.predict(data)
+        p1 = t_dedup.predict(data)
+        np.testing.assert_allclose(p0, p1, rtol=1e-5, atol=1e-6)
+
+        # and the UNSHUFFLED encoding of the SAME data needs a much larger
+        # capacity (the skew the lever removes)
+        fs_ranked = build_fs(None)
+        data_ranked = fs_ranked.transform(df, y=y)
+        t_ranked = self._trainer(fs_ranked, mesh24, embedding_exchange="dedup")
+        dev, layout = t_ranked._to_device(data_ranked, y)
+        idx = np.arange(256, dtype=np.int32)
+        cap_ranked = t_ranked.auto_dedup_capacity(dev, idx, layout)
+        assert cap_ranked > 1.8 * t_dedup.dedup_capacity, (
+            cap_ranked, t_dedup.dedup_capacity
         )

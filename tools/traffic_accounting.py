@@ -94,10 +94,12 @@ def main():
         },
     }, indent=2))
 
-    # the same streams under a PERMUTED row->shard assignment: Zipf-RANKED
-    # ids put every hot id in shard 0's contiguous range (worst case);
-    # hashed ids (the real Criteo path, HashedSparseFeat) or a bijective
-    # row permutation spread uniques uniformly
+    # the same streams under SHUFFLED-VOCAB encoding (the shipped lever:
+    # FeatureSet.initialize(shuffle_vocab=<seed>) — a seeded bijective id
+    # relabeling at encode time, encoders.VocabEncoder): Zipf-RANKED ids
+    # put every hot id in shard 0's contiguous range (worst case); hashed
+    # ids (the real Criteo path, HashedSparseFeat) or the shuffled
+    # assignment spread uniques uniformly for ANY mesh size
     rng = np.random.RandomState(0)
     perm = rng.permutation(args.num_buckets + 1)
     stats_perm = [
@@ -105,7 +107,7 @@ def main():
                       vocab=args.num_buckets + 1)
         for c in cat_cols
     ]
-    print("== same streams, permuted (hashed-like) row assignment ==")
+    print("== same streams, shuffled-vocab (hashed-like) id assignment ==")
     print(json.dumps({
         **{
             f"spread_s{s}_max_over_tables": max(
@@ -118,27 +120,41 @@ def main():
         ),
     }, indent=2))
 
-    # capacity implications at S=8
+    # capacity implications at S=8 — capacity_from_sample is the function
+    # ShardedTrainer now calls on the first fit batch when
+    # dedup_capacity=None (auto-sizing)
+    from recman_tpu.parallel.shard_lookup import capacity_from_sample
+
     s_m = 8
     n = args.batch
     max_owned = max(st["max_owned_s8"] for st in stats)
-    max_owned_perm = max(st["max_owned_s8"] for st in stats_perm)
     cap_default = default_capacity(n, s_m)  # 4N/S
-    cap_measured = int(max_owned * 1.5)  # 1.5x safety over worst table
+    cap_measured = capacity_from_sample(
+        [raw[c] for c in cat_cols], s_m, args.num_buckets + 1
+    )
+    cap_perm_measured = capacity_from_sample(
+        [perm[np.asarray(raw[c]).reshape(-1)] for c in cat_cols],
+        s_m, args.num_buckets + 1,
+    )
     print(json.dumps({
         "capacity_default_4N_over_S": cap_default,
         "max_owned_uniques_s8_worst_table": max_owned,
-        "capacity_measured_1p5x": cap_measured,
+        "capacity_from_sample_ranked": cap_measured,
+        "capacity_from_sample_shuffled": cap_perm_measured,
         "breakeven_capacity_N_over_S": n // s_m,
+        "measured_dedup_over_psum_ranked": round(cap_measured * s_m / n, 3),
+        "measured_dedup_over_psum_shuffled": round(
+            cap_perm_measured * s_m / n, 3
+        ),
         "note": "dedup:psum traffic ratio == capacity*S/N "
                 "(parallel/traffic.py); capacity below N/S wins",
     }, indent=2))
 
     # ---- 2. analytic traffic at the candidate capacities ----------------
-    cap_perm = int(max_owned_perm * 1.5)
     for name, cap in (("default(4N/S)", cap_default),
-                      ("measured(1.5x max-owned)", cap_measured),
-                      ("permuted-rows(1.5x max-owned)", cap_perm)):
+                      ("measured-ranked(capacity_from_sample)", cap_measured),
+                      ("measured-shuffled(capacity_from_sample)",
+                       cap_perm_measured)):
         t = collective_traffic_model(
             n_tables=len(stats), vocab=args.num_buckets + 1, k=16,
             batch_local=n, data_shards=1, model_shards=s_m, capacity=cap,
