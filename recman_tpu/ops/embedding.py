@@ -142,6 +142,12 @@ def _split_lookup_active() -> bool:
 # dense grads sum — one Mosaic compile, bounded VMEM at any batch.
 SEGMAT_SEGMENT_N = 32_768
 
+# Experiment flag (trace-time): emit the batched segmat grad with the
+# UNPADDED vocab as out_shape (Pallas masks the boundary tile's store)
+# instead of (T, k, v_pad) + an explicit lane-dim slice. See BASELINE.md
+# round-4 measurements before changing the default.
+SEGMAT_UNPADDED_OUT = False
+
 
 def _segmat_multi_active(k: int) -> bool:
     """Should the batched multi-table backward use the segmat kernel?
@@ -441,6 +447,18 @@ def _segment_matmul_from_sorted_batched(sids, sg_t, vocab_size: int,
         out_specs=pl.BlockSpec((1, k, tile_v), lambda tb, ti, b: (tb, 0, ti),
                                memory_space=pltpu.VMEM),
     )
+    if SEGMAT_UNPADDED_OUT and vocab_size != v_pad:
+        # let Pallas mask the boundary tile's store instead of
+        # materializing a (T, k, v_pad) buffer + a lane-dim slice (the
+        # slice profiles at 0.63 ms/step at the bench config)
+        grad_t = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((t, k, vocab_size), sg_t.dtype),
+            interpret=(jax.default_backend() != "tpu") if interpret is None
+            else interpret,
+        )(bounds, sids_p, sg_p)
+        return grad_t
     grad_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

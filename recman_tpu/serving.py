@@ -106,13 +106,15 @@ class Predictor:
 
         step = self._step()
         idx = batch_indices(n, self.batch_size)
-        outs = [
-            np.asarray(
-                step(self.params, data, jnp.asarray(idx[i]), override, False, layout)
-            )
+        # queue every batch's compute before converting any result: JAX
+        # dispatch is async, so the device pipeline stays busy while
+        # earlier batches stream back (the per-batch np.asarray form
+        # serialized compute behind each device->host transfer)
+        device_outs = [
+            step(self.params, data, jnp.asarray(idx[i]), override, False, layout)
             for i in range(idx.shape[0])
         ]
-        return np.concatenate(outs)[:n]
+        return np.concatenate([np.asarray(o) for o in device_outs])[:n]
 
     def export(self, directory, sample_X, batch_size=None, platforms=None,
                apply_overrides=True, quantize_embeddings=False):
@@ -314,7 +316,17 @@ class ExportedPredictor:
 
     def predict(self, X) -> np.ndarray:
         """Batched scoring of a dataframe or encoded-array dict; rows are
-        edge-padded up to the exported batch size and trimmed after."""
+        edge-padded up to the exported batch size and trimmed after.
+
+        DOUBLE-BUFFERED (the fit_stream treatment, VERDICT r3 item 4): a
+        prefetch thread slices/pads/TRANSFERS batch i+1 while batch i
+        computes, and each result is converted to host one batch behind —
+        so the input transfer (which alone accounted for the whole
+        measured serving time on this rig: 10.5 MB/pass through a
+        ~25 MB/s tunnel, tools/bench_serving.py round 3) overlaps with
+        compute instead of serializing in front of it. Logits are
+        unchanged: same chunks, same call, same order.
+        """
         if isinstance(X, dict):
             data = {k: np.asarray(v) for k, v in X.items()}
         else:
@@ -327,16 +339,49 @@ class ExportedPredictor:
         if n == 0:
             return np.empty((0,), dtype=np.float32)
         bs = self.batch_size
+
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=2)  # device batches in flight
+
+        def producer():
+            try:
+                for start in range(0, n, bs):
+                    chunk = {
+                        k: data[k][start:start + bs] for k in self.batch_keys
+                    }
+                    m = len(chunk[self.batch_keys[0]])
+                    if m < bs:
+                        chunk = {
+                            k: np.concatenate(
+                                [v, np.repeat(v[-1:], bs - m, axis=0)], axis=0
+                            )
+                            for k, v in chunk.items()
+                        }
+                    dev = {k: jnp.asarray(v) for k, v in chunk.items()}
+                    q.put((m, dev))
+            except Exception as e:  # surface in the consumer
+                q.put(e)
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
         outs = []
-        for start in range(0, n, bs):
-            chunk = {k: data[k][start:start + bs] for k in self.batch_keys}
-            m = len(chunk[self.batch_keys[0]])
-            if m < bs:
-                chunk = {
-                    k: np.concatenate(
-                        [v, np.repeat(v[-1:], bs - m, axis=0)], axis=0
-                    )
-                    for k, v in chunk.items()
-                }
-            outs.append(np.asarray(self._call(self.params, chunk))[:m])
+        pending = []  # computed-but-unconverted device results
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            m, dev = item
+            pending.append((m, self._call(self.params, dev)))
+            if len(pending) > 1:  # convert one batch behind
+                m0, r0 = pending.pop(0)
+                outs.append(np.asarray(r0)[:m0])
+        for m0, r0 in pending:
+            outs.append(np.asarray(r0)[:m0])
+        t.join()
         return np.concatenate(outs)[:n]

@@ -117,15 +117,19 @@ class Resilience:
         path = os.path.join(self.directory, meta["name"])
         return (path, meta) if os.path.isdir(path) else None
 
-    def save(self, trainer, step: int, epoch: int):
+    def save(self, trainer, step: int, epoch: int, extra: dict | None = None):
         """Checkpoint ``trainer`` at global ``step``; atomic LATEST update
-        then retention pruning."""
+        then retention pruning. ``extra`` merges into the LATEST metadata
+        (fit_stream records its {"stream": {epoch, chunk, batch}} resume
+        position through it)."""
         if step == self._last_saved_step:
             return  # already on disk (e.g. epoch boundary after step save)
         path = self._step_dir(step)
         trainer.save(path)
         meta = {"name": os.path.basename(path), "step": int(step),
                 "epoch": int(epoch)}
+        if extra:
+            meta.update(extra)
         tmp = os.path.join(self.directory, LATEST_FILE + ".tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -156,18 +160,20 @@ class Resilience:
         return meta
 
     # -- fit-loop hooks ----------------------------------------------------
-    def step_boundary(self, trainer, step: int, epoch: int):
+    def step_boundary(self, trainer, step: int, epoch: int,
+                      extra: dict | None = None):
         """Called between optimizer steps; handles cadence + preemption."""
         if self._preempted:
-            self.save(trainer, step, epoch)
+            self.save(trainer, step, epoch, extra)
             raise Preempted(
                 f"preemption signal captured; state checkpointed at "
                 f"step {step} in {self.directory}"
             )
         if self.every_steps and step > 0 and step % self.every_steps == 0:
-            self.save(trainer, step, epoch)
+            self.save(trainer, step, epoch, extra)
 
-    def epoch_boundary(self, trainer, step: int, epoch: int, mean_loss: float):
+    def epoch_boundary(self, trainer, step: int, epoch: int, mean_loss: float,
+                       extra: dict | None = None):
         """Called after each epoch's eval-ready loss is known."""
         import math
 
@@ -184,10 +190,10 @@ class Resilience:
                 "no checkpoint to roll back to"
             )
         if self._preempted:
-            self.save(trainer, step, epoch)
+            self.save(trainer, step, epoch, extra)
             raise Preempted(
                 f"preemption signal captured; state checkpointed at "
                 f"epoch {epoch} in {self.directory}"
             )
         if self.every_epochs and epoch % self.every_epochs == 0:
-            self.save(trainer, step, epoch)
+            self.save(trainer, step, epoch, extra)

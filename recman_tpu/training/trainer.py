@@ -162,7 +162,8 @@ class Trainer:
         )
         return loss
 
-    def fit_stream(self, chunks, epochs=None, shuffle_in_chunk=True):
+    def fit_stream(self, chunks, epochs=None, shuffle_in_chunk=True,
+                   resilience=None):
         """Train over a stream of encoded host chunks with double-buffered
         host->device transfers (data.streaming iterators are the intended
         sources). While the device executes chunk c's steps, chunk c+1 is
@@ -176,61 +177,129 @@ class Trainer:
         when ``epochs`` > 1). Rows shuffle within each chunk per epoch
         when ``shuffle_in_chunk`` (global shuffles are the chunk source's
         job, e.g. iter_array_chunks(shuffle_seed=...)). Returns self.
+
+        ``resilience``: a training.Resilience policy. Checkpoints record
+        the STREAM position (epoch, chunk index, batches completed in the
+        chunk) in LATEST.json, and resume restores the state then fast-
+        forwards the chunk source to that position — in-chunk shuffle
+        seeds are a deterministic function of (random_seed, epoch, chunk),
+        so the resumed run replays the exact remaining batch sequence
+        (bit-exact, like fit()'s mid-epoch resume). Requires a CALLABLE
+        chunk factory whose iteration order is deterministic
+        (iter_array_chunks and the native streaming readers are).
         """
         epochs = self.epoch if epochs is None else epochs
         if not callable(chunks):
-            assert epochs == 1, (
+            assert epochs == 1 and resilience is None, (
                 "a plain iterator can only be consumed once; pass a "
-                "zero-arg callable for multi-epoch streams"
+                "zero-arg callable for multi-epoch or resumable streams"
             )
             chunk_iter = chunks
             chunks = lambda: chunk_iter  # noqa: E731
 
         from concurrent.futures import ThreadPoolExecutor
 
+        start_epoch, resume_chunk, resume_batch = 1, 0, 0
+        steps_done = 0
+        if resilience is not None:
+            meta = resilience.resume(self)
+            if meta is not None:
+                steps_done = int(meta["step"])
+                pos = meta.get("stream")
+                if pos is None:
+                    log.warning(
+                        "Resilience: checkpoint has no stream position "
+                        "(written by fit()?); restarting the stream from "
+                        "epoch %d chunk 0 with the restored state",
+                        int(meta["epoch"]),
+                    )
+                    start_epoch = int(meta["epoch"])
+                else:
+                    start_epoch = int(pos["epoch"])
+                    resume_chunk = int(pos["chunk"])
+                    resume_batch = int(pos["batch"])
+                    if start_epoch > epochs:
+                        log.info("Resilience: stream run already complete "
+                                 "at step %d", steps_done)
+                        return self
+            resilience.install()
+
         last_chunk = None
-        for epoch in range(1, epochs + 1):
-            it = iter(chunks())
+        try:
+            for epoch in range(start_epoch, epochs + 1):
+                it = iter(chunks())
+                skip_chunks = resume_chunk if epoch == start_epoch else 0
+                skip_batches = resume_batch if epoch == start_epoch else 0
+                for _ in range(skip_chunks):
+                    if next(it, None) is None:
+                        break
+                if skip_chunks:
+                    log.info(
+                        "Resilience: resuming stream epoch %d at chunk %d, "
+                        "batch %d", epoch, skip_chunks, skip_batches,
+                    )
 
-            def prepare(c_i):
-                # runs on the prefetch thread: read + pack + DISPATCH the
-                # host->device transfer for the next chunk while the
-                # device executes the current one
-                chunk = next(it, None)
-                if chunk is None:
-                    return None
-                nonlocal last_chunk
-                last_chunk = chunk  # Dice calibration sample (see below)
-                data, layout = self._to_device(chunk, chunk.get("y"))
-                n = int(len(next(iter(chunk.values()))))
-                seed = (self.random_seed + 7919 * epoch + c_i
-                        if shuffle_in_chunk else None)
-                idx = self._batch_index_matrix(n, shuffle_seed=seed)
-                return data, layout, idx
+                def prepare(c_i):
+                    # runs on the prefetch thread: read + pack + DISPATCH
+                    # the host->device transfer for the next chunk while
+                    # the device executes the current one
+                    chunk = next(it, None)
+                    if chunk is None:
+                        return None
+                    nonlocal last_chunk
+                    last_chunk = chunk  # Dice calibration sample (below)
+                    data, layout = self._to_device(chunk, chunk.get("y"))
+                    n = int(len(next(iter(chunk.values()))))
+                    seed = (self.random_seed + 7919 * epoch + c_i
+                            if shuffle_in_chunk else None)
+                    idx = self._batch_index_matrix(n, shuffle_seed=seed)
+                    return data, layout, idx
 
-            total, batches, c_i = 0.0, 0, 0
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                cur = prepare(0)
-                while cur is not None:
-                    data, layout, idx = cur
-                    c_i += 1
-                    fut = pool.submit(prepare, c_i)  # overlap IO/pack/copy
-                    losses = [
-                        self.fit_on_batch(data, idx[i], layout)
-                        for i in range(idx.shape[0])
-                    ]
-                    # ONE device->host sync per chunk (a per-step float()
-                    # costs a ~50 ms tunnel round-trip each); it also
-                    # bounds HBM to ~2 live chunks before buffers drop
-                    total += float(sum(losses))
-                    batches += len(losses)
-                    del data, losses
-                    cur = fut.result()
-            log.info("fit_stream epoch %d: %d chunks, %d batches, "
-                     "mean loss %.5f", epoch, c_i, batches,
-                     total / max(batches, 1))
-            if last_chunk is not None:
-                self.calibrate(last_chunk)  # Dice moments (no-op w/o Dice)
+                total, batches, c_i = 0.0, 0, skip_chunks
+                with ThreadPoolExecutor(max_workers=1) as pool:
+                    cur = prepare(c_i)
+                    while cur is not None:
+                        data, layout, idx = cur
+                        offset = skip_batches if c_i == skip_chunks else 0
+                        c_i += 1
+                        fut = pool.submit(prepare, c_i)  # overlap IO/copy
+                        losses = []
+                        for i in range(offset, idx.shape[0]):
+                            losses.append(
+                                self.fit_on_batch(data, idx[i], layout)
+                            )
+                            steps_done += 1
+                            if resilience is not None:
+                                resilience.step_boundary(
+                                    self, steps_done, epoch,
+                                    extra={"stream": {
+                                        "epoch": epoch,
+                                        "chunk": c_i - 1,
+                                        "batch": i + 1,
+                                    }},
+                                )
+                        # ONE device->host sync per chunk (a per-step
+                        # float() costs a ~50 ms tunnel round-trip each);
+                        # it also bounds HBM to ~2 live chunks
+                        total += float(sum(losses)) if losses else 0.0
+                        batches += len(losses)
+                        del data, losses
+                        cur = fut.result()
+                mean_loss = total / max(batches, 1)
+                log.info("fit_stream epoch %d: %d chunks, %d batches, "
+                         "mean loss %.5f", epoch, c_i, batches, mean_loss)
+                if resilience is not None:
+                    resilience.epoch_boundary(
+                        self, steps_done, epoch, mean_loss,
+                        extra={"stream": {
+                            "epoch": epoch + 1, "chunk": 0, "batch": 0,
+                        }},
+                    )
+                if last_chunk is not None:
+                    self.calibrate(last_chunk)  # Dice moments (no-op w/o)
+        finally:
+            if resilience is not None:
+                resilience.uninstall()
         return self
 
     def predict_stream(self, chunks, training=False):
