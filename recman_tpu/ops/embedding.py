@@ -550,6 +550,135 @@ def embedding_lookup(table, ids):
     return rows.reshape(*ids.shape, table.shape[1])
 
 
+def _segment_matmul_from_sorted_batched_vk(sids, sg_t, vocab_size: int,
+                                           k_emb: int, n_vec: int,
+                                           tile_v: int = 2048,
+                                           chunk_n: int | None = None,
+                                           interpret: bool | None = None):
+    """Batched segmat emitting ROW-MAJOR grads: (T, N) sorted ids +
+    (T, k_emb + n_vec, N) transposed permuted cotangents ->
+    ((T, vocab_size, k_emb) table grads, (T, n_vec, vocab_size) vector
+    grads) in ONE pallas_call.
+
+    The difference vs ``_segment_matmul_from_sorted_batched``: the
+    accumulator is built TRANSPOSED — acc(tile_v, k_eff) += mask(tile_v,
+    chunk) @ gc(k_eff, chunk)^T, identical MXU tile count — so the table
+    grad leaves the kernel (V, k_emb) row-major and the vector rows leave
+    as (V,) slices. Downstream effect (the point): Adam consumes the
+    table grad with NO transpose/relayout, so XLA keeps params/moments
+    row-major and the FORWARD gathers need no column->row relayout
+    either; the v_pad slice moves to the (cheap) sublane dim. Used by the
+    split-lookup backward (packed_lookup_grouped) under SEGMAT_VK_OUT.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, k_eff, n = sg_t.shape
+    assert k_eff == k_emb + n_vec
+    tile_v = min(tile_v, _round_up(vocab_size, 8))
+    v_pad = _round_up(vocab_size, tile_v)
+    if chunk_n is None:
+        chunk_n = _adaptive_chunk(n, tile_v, v_pad)
+    chunk_n = max(128, _round_up(min(chunk_n, _round_up(n, 8)), 128))
+    num_tiles = v_pad // tile_v
+    n_pad = _round_up(n, chunk_n) + chunk_n
+
+    sids_p = jnp.full((t, 1, n_pad), v_pad, dtype=jnp.int32)
+    sids_p = sids_p.at[:, 0, :n].set(sids.astype(jnp.int32))
+    sg_p = jnp.zeros((t, k_eff, n_pad), dtype=sg_t.dtype).at[:, :, :n].set(sg_t)
+
+    tiles_of = sids.astype(jnp.int32) // tile_v
+    edges_t = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.sum(
+        tiles_of[:, None, :] < edges_t[None, :, None], axis=2,
+        dtype=jnp.int32,
+    )
+
+    def kernel(bounds_ref, sids_ref, sg_ref, out_emb_ref, out_vec_ref):
+        tbl = pl.program_id(0)
+        tile = pl.program_id(1)
+        base = tile * tile_v
+        start = bounds_ref[tbl, tile]
+        end = bounds_ref[tbl, tile + 1]
+        c0 = start // chunk_n
+        c1 = pl.cdiv(end, chunk_n)
+
+        def chunk_body(c, accs):
+            acc_emb, acc_vec = accs
+            off = pl.multiple_of(c * chunk_n, chunk_n)
+            sid_chunk = sids_ref[0, :, pl.ds(off, chunk_n)]  # (1, CHUNK)
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_v, chunk_n), 0
+            )
+            mask = (sid_chunk - base == cols).astype(sg_ref.dtype)
+            gc = sg_ref[0, :, pl.ds(off, chunk_n)]  # (k_eff, CHUNK)
+            # table part ROW-MAJOR: (tile_v, CHUNK) x (k_emb, CHUNK)
+            # contracted on CHUNK -> (tile_v, k_emb); same MXU tile count
+            # as the (k, tile_v) orientation, accumulator already the
+            # layout Adam wants
+            acc_emb = acc_emb + jax.lax.dot_general(
+                mask, gc[:k_emb], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if n_vec:
+                # vector rows keep the original tiny-M orientation
+                # (n_vec, CHUNK) @ (tile_v, CHUNK)^T — no transposes
+                acc_vec = acc_vec + jax.lax.dot_general(
+                    gc[k_emb:], mask, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return acc_emb, acc_vec
+
+        acc = (
+            jnp.zeros((tile_v, k_emb), dtype=jnp.float32),
+            jnp.zeros((max(n_vec, 1), tile_v), dtype=jnp.float32),
+        )
+        acc_emb, acc_vec = jax.lax.fori_loop(c0, c1, chunk_body, acc)
+        out_emb_ref[0, :, :] = acc_emb.astype(out_emb_ref.dtype)
+        out_vec_ref[0, :, :] = acc_vec.astype(out_vec_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t, num_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, n_pad), lambda tb, ti, b: (tb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_eff, n_pad), lambda tb, ti, b: (tb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_v, k_emb), lambda tb, ti, b: (tb, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max(n_vec, 1), tile_v),
+                         lambda tb, ti, b: (tb, 0, ti),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    grad_emb, grad_vec = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, v_pad, k_emb), sg_t.dtype),
+            jax.ShapeDtypeStruct((t, max(n_vec, 1), v_pad), sg_t.dtype),
+        ],
+        interpret=(jax.default_backend() != "tpu") if interpret is None
+        else interpret,
+    )(bounds, sids_p, sg_p)
+    return grad_emb[:, :vocab_size], grad_vec[:, :n_vec, :vocab_size]
+
+
+# Experiment flag (trace-time): route the SPLIT-lookup backward through
+# the row-major-out kernel above. MEASURED DEAD END (tools/bench_r4c.py
+# ABAB 2026-08-21, TPU v5e): 274.9k vs 673.8k ex/s median — 29.8 vs
+# 12.2 ms/step. The (tile_v, k) accumulator/store orientation costs
+# ~17 ms: the acc lane-pads 16->128 in VMEM and the (1, tile_v, 16)
+# narrow-minor HBM stores don't get the dense narrow tiling the layout
+# theory assumed. The (k, tile_v) field-major orientation (big dim on
+# lanes) remains the only fast form — the same Pallas rule from the
+# round-1 CIN kernels. Kept for the record; do not enable.
+SEGMAT_VK_OUT = False
+
+
 @jax.custom_vjp
 def _lookup_multi(tables, ids_tuple):
     """Multi-table lookup (tables: tuple of same-shape (V, k); ids (N,))."""
@@ -766,6 +895,19 @@ def _lookup_multi_split_bwd(res, gs):
         sg_t = _permute_transposed(
             [jnp.swapaxes(g, 0, 1) for g in gs], order
         )
+        if SEGMAT_VK_OUT and n <= SEGMAT_SEGMENT_N:
+            # row-major-out kernel: table grads leave (V, k) — Adam and
+            # the forward gathers then agree on row-major params with no
+            # relayout anywhere (see the kernel's docstring)
+            grad_emb, grad_vec = _segment_matmul_from_sorted_batched_vk(
+                sids, sg_t, vocab_size, k, n_vec
+            )
+            table_grads = tuple(grad_emb[i] for i in range(t))
+            vec_grads = tuple(
+                tuple(grad_vec[i, j] for j in range(n_vec))
+                for i in range(t)
+            )
+            return table_grads, vec_grads, None
         grads_b = _segmat_batched_segmented(sids, sg_t, vocab_size)
         # (T, k_eff, V): rows :k are the table grad (transposed — the
         # swapaxes is a layout bitcast into Adam's column-major params),

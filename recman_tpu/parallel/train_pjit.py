@@ -384,24 +384,14 @@ class ShardedTrainer(Trainer):
         )
 
     # -- dedup-exchange capacity guard --------------------------------------
-    def _dedup_id_streams(self, data, idx, layout=()):
-        """Yield (label, flat_ids, vocab_rows) for every lookup of one
-        assembled batch that would route through dedup_embedding_lookup
-        (mirrors embedding_lookup's routing condition exactly)."""
+    def _dedup_feature_specs(self):
+        """Yield (label, batch_key, clip_negative, vocab_rows) for every
+        lookup that would route through dedup_embedding_lookup (mirrors
+        embedding_lookup's routing condition exactly)."""
         from ..features import MultiValCsvFeat, MultiValSparseFeat
-        from ..training.train_step import unpack_batch
         from .mesh import MODEL_AXIS
 
         model_n = self.mesh.shape[MODEL_AXIS]
-        if self.dataset_sharded:
-            batch, _ = make_local_gather(self.mesh)(data, jnp.asarray(idx))
-        else:
-            batch, _ = gather_batch(data, jnp.asarray(idx))
-        if layout:
-            batch = unpack_batch(batch, layout)
-        # both layouts order batch rows so each data shard's rows are one
-        # contiguous block, matching the per-group exchange
-        batch = {k: np.asarray(v) for k, v in batch.items()}
 
         def routed(vocab_rows):
             return (vocab_rows >= self.row_shard_threshold
@@ -416,23 +406,41 @@ class ShardedTrainer(Trainer):
                 table = self.state.params[f"{emb.prefix}{feat.name}_feat_embed"]
                 if not routed(table.shape[0]):
                     continue
-                ids = batch[feat.name]
-                if isinstance(feat, (MultiValCsvFeat, MultiValSparseFeat)):
-                    ids = np.maximum(ids, 0)
+                clip = isinstance(feat, (MultiValCsvFeat, MultiValSparseFeat))
                 seen.add(feat.name)
-                yield feat.name, ids.reshape(-1), table.shape[0]
+                yield feat.name, feat.name, clip, table.shape[0]
         lin = getattr(self.model, "linear", None)
         if lin is not None:
             for feat in lin.feats:
                 if not hasattr(feat, "feat_size") or feat.name in seen:
                     continue
-                ids = batch.get(feat.name)
-                if ids is None or ids.dtype.kind not in "iu":
-                    continue
                 if not routed(feat.feat_size):
                     continue
-                yield (f"{feat.name}(linear)",
-                       np.maximum(ids, 0).reshape(-1), feat.feat_size)
+                yield (f"{feat.name}(linear)", feat.name, True,
+                       feat.feat_size)
+
+    def _dedup_id_streams(self, data, idx, layout=()):
+        """Yield (label, flat_ids, vocab_rows) for one assembled batch's
+        dedup-routed lookups (single-process: the whole global batch is
+        host-addressable)."""
+        from ..training.train_step import unpack_batch
+
+        if self.dataset_sharded:
+            batch, _ = make_local_gather(self.mesh)(data, jnp.asarray(idx))
+        else:
+            batch, _ = gather_batch(data, jnp.asarray(idx))
+        if layout:
+            batch = unpack_batch(batch, layout)
+        # both layouts order batch rows so each data shard's rows are one
+        # contiguous block, matching the per-group exchange
+        batch = {k: np.asarray(v) for k, v in batch.items()}
+        for label, key, clip, vocab_rows in self._dedup_feature_specs():
+            ids = batch.get(key)
+            if ids is None or ids.dtype.kind not in "iu":
+                continue
+            if clip:
+                ids = np.maximum(ids, 0)
+            yield label, ids.reshape(-1), vocab_rows
 
     def dedup_overflow_report(self, data, idx, layout=()) -> dict:
         """Host-side replica of the dedup exchange's capacity math on one
@@ -460,6 +468,86 @@ class ShardedTrainer(Trainer):
                 total += int(np.maximum(counts - cap, 0).sum())
             report[label] = total
         return report
+
+    def _dedup_local_counts(self, data, idx, layout=()):
+        """Multihost form of the capacity sample: per-(stream, LOCAL data
+        shard) unique-row ownership counts, computed from this process's
+        ADDRESSABLE blocks only (the global batch is not host-addressable
+        under multihost_feed). Returns a list of np count vectors (length
+        model_n each)."""
+        from ..training.train_step import unpack_batch
+        from .mesh import MODEL_AXIS
+
+        model_n = self.mesh.shape[MODEL_AXIS]
+        d_n = self.mesh.shape[DATA_AXIS]
+        local_bs = self.batch_size // d_n
+        idx2 = np.asarray(idx).reshape(d_n, local_bs)
+
+        # global data-shard id -> this process's host block (model-axis
+        # replicas dedupe by row offset)
+        local_n = None
+        blocks: dict[int, dict] = {}
+        for k, v in data.items():
+            rows = v.shape[0]
+            local_n = rows // d_n
+            for s in v.addressable_shards:
+                g = s.index[0].start // local_n if s.index[0].start else 0
+                blocks.setdefault(g, {})[k] = np.asarray(s.data)
+
+        counts = []
+        for g, block in blocks.items():
+            sel = idx2[g]
+            sel = sel[sel >= 0]
+            batch = {k: jnp.asarray(b[sel]) for k, b in block.items()}
+            if layout:
+                batch = unpack_batch(batch, layout)
+            batch = {k: np.asarray(v) for k, v in batch.items()}
+            for _label, key, clip, vocab_rows in self._dedup_feature_specs():
+                ids = batch.get(key)
+                if ids is None or ids.dtype.kind not in "iu":
+                    continue
+                if clip:
+                    ids = np.maximum(ids, 0)
+                rows_per = vocab_rows // model_n
+                uniq = np.unique(ids.reshape(-1))
+                counts.append(np.bincount(
+                    np.clip(uniq // rows_per, 0, model_n - 1),
+                    minlength=model_n,
+                ))
+        return counts
+
+    def _dedup_multihost_guard(self, data, idx, layout=(), safety=1.5):
+        """Multihost first-batch guard: auto-size capacity from every
+        process's local sample (allgather-max) and verify no overflow at
+        the chosen capacity (allgather-sum). Two tiny host collectives,
+        once per fit."""
+        from jax.experimental import multihost_utils
+
+        counts = self._dedup_local_counts(data, idx, layout)
+        worst_local = max((int(c.max()) for c in counts), default=1)
+        worst = int(np.max(multihost_utils.process_allgather(
+            np.int32(worst_local)
+        )))
+        if self.dedup_capacity is None:
+            self.dedup_capacity = int(np.ceil(worst * float(safety)))
+            log.info(
+                "dedup capacity auto-sized from first batch "
+                "(multihost allgather-max): %d", self.dedup_capacity,
+            )
+        cap = min(self.dedup_capacity, self.batch_size //
+                  self.mesh.shape[DATA_AXIS])
+        over_local = sum(int(np.maximum(c - cap, 0).sum()) for c in counts)
+        over = int(np.sum(multihost_utils.process_allgather(
+            np.int32(over_local)
+        )))
+        if over:
+            raise ValueError(
+                "dedup embedding exchange would silently DROP rows this "
+                f"batch ({over} unique ids over capacity {cap} across "
+                "processes). Raise dedup_capacity (capacity=batch_size "
+                "is unconditionally exact) or use "
+                "embedding_exchange='psum'."
+            )
 
     def auto_dedup_capacity(self, data, idx, layout=(), safety=1.5) -> int:
         """Data-driven dedup capacity from one assembled batch: 1.5x the
@@ -499,6 +587,12 @@ class ShardedTrainer(Trainer):
         # validate capacity once per fit on the first real batch; the
         # exchange itself stays assertion-free (jit-compiled hot loop)
         if self.embedding_exchange == "dedup" and not self._dedup_checked:
+            if self.multihost_feed:
+                # the global batch is not host-addressable: sample local
+                # blocks + two host allgathers (auto-size + overflow)
+                self._dedup_multihost_guard(data, idx, layout)
+                self._dedup_checked = True
+                return super().fit_on_batch(data, idx, layout)
             if self.dedup_capacity is None:
                 # measure BEFORE the first train-step trace bakes it in
                 self.dedup_capacity = self.auto_dedup_capacity(
@@ -598,6 +692,16 @@ class ShardedTrainer(Trainer):
             .transpose(0, 2, 1)
             .reshape(num_batches, d_n * local_bs)
         )
+
+    def _steps_per_epoch(self, n: int) -> int:
+        if not self.dataset_sharded:
+            return super()._steps_per_epoch(n)
+        d_n = self.mesh.shape[DATA_AXIS]
+        procs = jax.process_count() if self.multihost_feed else 1
+        spp = d_n // procs
+        local_n = -(-n // spp)
+        local_bs = self.batch_size // d_n
+        return local_n // local_bs + 1
 
     def _unshard_preds(self, preds: np.ndarray, n: int) -> np.ndarray:
         """Scan output is [batch, shard, j]-ordered when dataset_sharded;

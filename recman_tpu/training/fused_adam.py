@@ -1,5 +1,25 @@
 """Fused embedding-backward + Adam training: the scatter-free hot loop.
 
+STATUS: DEAD-END-FROZEN (round 4, 2026-08-21 — the VERDICT r3 item-6
+verdict). Measured 237.6k vs the standard path's 665k+ ex/s at the bench
+config. The two prescribed revisit levers are now both accounted for:
+(a) "one batched kernel over 26 tables" shipped INSIDE the standard path
+as the segmat backward (ops/embedding.py, the round-3/4 defaults) — the
+standard step already has the batched-kernel win without this module's
+storage redesign; (b) "fold k into lanes for the (tile_v, 17) Adam
+sweep" requires exactly the row-major/narrow-minor kernel orientation
+that tools/bench_r4c.py measured CATASTROPHICALLY slow (29.8 vs 12.2
+ms/step — Mosaic lane-pads narrow accumulators/stores; the field-major
+rule is structural, not tunable), and the (V, 17) persistent storage
+itself pays a 7.5x HBM layout tax on every Adam pass (the round-2
+postmortem) that no kernel change removes — only (V, 32) padding would,
+which adds +78% Adam bytes (~+1.3 ms) and erases the win. The module
+stays as a bit-parity-tested opt-in (its trajectory-identity tests are
+cheap CPU) for the regime it was designed for (k >= 96 embeddings /
+dense-per-tile id streams), but it is NOT to be re-benchmarked on the
+headline config each round.
+
+
 Single-chip counterpart of the standard train step (train_step.py) for
 models with a packed embedding+linear path (layers/packed.py). The
 standard step's sparse-parameter pipeline per feature is

@@ -457,6 +457,12 @@ class Trainer:
         to produce per-shard local indices."""
         return batch_indices(n, self.batch_size, shuffle_seed=shuffle_seed)
 
+    def _steps_per_epoch(self, n: int) -> int:
+        """Rows of ``_batch_index_matrix(n)`` — fit()'s resume arithmetic
+        must match it exactly (overridden alongside it by sharded-dataset
+        trainers, where the count is per-LOCAL-shard)."""
+        return n // self.batch_size + 1  # batch_indices contract
+
     def _predict_device(self, data: dict, training: bool, layout=(),
                         n=None) -> np.ndarray:
         """``n``: logical row count — required by callers of sharded-dataset
@@ -519,7 +525,7 @@ class Trainer:
         y_np = np.asarray(y_train, dtype=np.float32)
         n = len(y_np)
 
-        steps_per_epoch = n // self.batch_size + 1  # batch_indices contract
+        steps_per_epoch = self._steps_per_epoch(n)
         start_epoch, resume_offset = 1, 0
         if resilience is not None:
             meta = resilience.resume(self)

@@ -23,16 +23,32 @@ DEMO = os.path.join(
 )
 
 
-@pytest.mark.timeout(900)
-def test_two_process_training_matches_single_process():
+def _run_demo(modes, port):
     env = dict(os.environ)
     # the demo manages its own XLA_FLAGS / platforms per subprocess
     env.pop("XLA_FLAGS", None)
     out = subprocess.run(
-        [sys.executable, DEMO, "--port", "9923"],
+        [sys.executable, DEMO, "--port", str(port), "--modes", modes],
         capture_output=True, text=True, timeout=840, env=env,
     )
     assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["processes"] == 2 and rec["global_devices"] == 8
     assert rec["abs_delta"] < 1e-4
+    return rec
+
+
+@pytest.mark.timeout(900)
+def test_two_process_training_matches_single_process():
+    """psum (pure DP) and the DEDUP exchange (2x4 mesh, row-sharded
+    tables, multihost auto-capacity) both match single-process runs."""
+    rec = _run_demo("psum,dedup", 9923)
+    assert rec["modes"]["dedup"]["auto_dedup_capacity"] > 0
+
+
+@pytest.mark.timeout(900)
+def test_two_process_preempt_resume_matches_uninterrupted():
+    """Both processes checkpoint at a deterministic mid-run preemption
+    (multi-process Orbax save), fresh trainers resume, and the final
+    trajectory matches the uninterrupted single-process reference."""
+    _run_demo("preempt", 9937)
