@@ -22,6 +22,15 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# Trace-time experiment flag for the field-major tail: pool each
+# direct-connect block separately via the FREE row-major reshape
+# (F_i*B, D) + minor-axis reduce, instead of concatenating the full
+# (final_size, B*D) map and reshaping (-1, B, D) (which XLA lays out
+# {0,2,1} behind ~0.6 ms of relayout copies + split backward — profile
+# 2026-08-21). Bit-identical math (same 16 addends per output, same
+# order). Default decided by TPU ABAB — see BASELINE.md round 4.
+CIN_POOL_SPLIT = False
+
 from ..utils import glorot_normal, glorot_uniform, l2_loss
 from ..ops.cin_interact import cin_interact, cin_interact_fm, pallas_cin_active
 from .common import dropout, resolve_activation, split_rng
@@ -172,8 +181,21 @@ class CIN:
                 direct = fmap
             finals.append(direct)
 
-        result = jnp.concatenate(finals, axis=0)  # (final_size, B*D)
-        result = jnp.sum(result.reshape(-1, B, D), axis=2)  # (final_size, B)
+        if CIN_POOL_SPLIT:
+            pooled = []
+            for direct in finals:
+                f_i = direct.shape[0]
+                # (f_i, B*D) -> (f_i*B, D) is a contiguous-row bitcast;
+                # the reduce then runs over the 16-lane minor axis with
+                # no relayout, and only the SMALL (f_i, B) results concat
+                pooled.append(
+                    jnp.sum(direct.reshape(f_i * B, D), axis=1)
+                    .reshape(f_i, B)
+                )
+            result = jnp.concatenate(pooled, axis=0)  # (final_size, B)
+        else:
+            result = jnp.concatenate(finals, axis=0)  # (final_size, B*D)
+            result = jnp.sum(result.reshape(-1, B, D), axis=2)
         return (
             jnp.einsum("fb,fo->bo", result, params[f"{self.prefix}cin_w"])
             + params[f"{self.prefix}cin_w0"]

@@ -14,10 +14,9 @@ shape that runs over ICI on a pod slice.
 Modes (parent runs all three by default):
 
 1. psum    — pure-DP mesh (data=2P*4, model=1), partitioner exchange.
-2. dedup   — (data=P*4//2... actually data=P*2, model=2) mesh with
-             row-sharded tables through the DEDUPED capacity-bounded
-             all-to-all (auto-capacity via the multihost allgather
-             guard) — VERDICT r3 item 7.
+2. dedup   — (data=P*2, model=2) mesh with row-sharded tables through
+             the DEDUPED capacity-bounded all-to-all (auto-capacity via
+             the multihost allgather guard) — VERDICT r3 item 7.
 3. preempt — the dedup run again, but every process is deterministically
              "preempted" mid-epoch-2 (multi-process Orbax checkpoint),
              then a FRESH trainer per process resumes and finishes; the
