@@ -25,10 +25,12 @@ import jax.numpy as jnp
 # Trace-time experiment flag for the field-major tail: pool each
 # direct-connect block separately via the FREE row-major reshape
 # (F_i*B, D) + minor-axis reduce, instead of concatenating the full
-# (final_size, B*D) map and reshaping (-1, B, D) (which XLA lays out
-# {0,2,1} behind ~0.6 ms of relayout copies + split backward — profile
-# 2026-08-21). Bit-identical math (same 16 addends per output, same
-# order). Default decided by TPU ABAB — see BASELINE.md round 4.
+# (final_size, B*D) map and reshaping (-1, B, D). Bit-identical math.
+# MEASURED DEAD END (tools/bench_r4d.py ABAB 2026-08-21, TPU v5e):
+# 600.2k vs 672.8k ex/s median — the (F_i*B, 16) minor-axis reduce runs
+# at 16/128 lane efficiency (the same narrow-minor trap as the vk-out
+# kernel, NOTES.md), costing MORE than the {0,2,1} relayout it removed.
+# Keep False.
 CIN_POOL_SPLIT = False
 
 from ..utils import glorot_normal, glorot_uniform, l2_loss

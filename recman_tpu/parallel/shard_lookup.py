@@ -236,7 +236,12 @@ def dedup_embedding_lookup(table, ids, mesh, capacity=None, shard_batch=True,
         in_specs=(P(MODEL_AXIS, None), batch_spec),
         out_specs=(batch_spec, P()),
         # check_vma=False: the static varying-axes checker cannot infer
-        # that the outputs are model-replicated. Proof they are: (1) ids
+        # that the outputs are model-replicated. RE-TESTED on jax 0.9.0
+        # (2026-08-21, the pvary-era checker): it still reports "could
+        # not infer replication over any axes" for the rows output — the
+        # all_gather -> local-gather -> unsort chain defeats its
+        # inference — so the manual proof below remains the mechanism.
+        # Proof they are: (1) ids
         # arrive model-REPLICATED (in_specs P(DATA) — no model axis), so
         # the sort/dedup/owner/rank computation is identical on every
         # model shard; (2) the only model-varying value, each shard's
