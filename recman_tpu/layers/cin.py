@@ -22,16 +22,21 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# Trace-time experiment flag for the field-major tail: pool each
-# direct-connect block separately via the FREE row-major reshape
-# (F_i*B, D) + minor-axis reduce, instead of concatenating the full
-# (final_size, B*D) map and reshaping (-1, B, D). Bit-identical math.
-# MEASURED DEAD END (tools/bench_r4d.py ABAB 2026-08-21, TPU v5e):
-# 600.2k vs 672.8k ex/s median — the (F_i*B, 16) minor-axis reduce runs
-# at 16/128 lane efficiency (the same narrow-minor trap as the vk-out
-# kernel, NOTES.md), costing MORE than the {0,2,1} relayout it removed.
-# Keep False.
-CIN_POOL_SPLIT = False
+# Trace-time experiment mode for the field-major tail's direct-connect
+# pooling (bit-identical math in every mode):
+#   "concat"    — concatenate the full (final_size, B*D) map, reshape
+#                 (-1, B, D), reduce axis 2 (the round-3 default).
+#   "split_flat"— per-block free reshape (F_i*B, D) + minor-axis reduce.
+#                 MEASURED DEAD END (tools/bench_r4d.py ABAB 2026-08-21):
+#                 600.2k vs 672.8k ex/s — the 16-lane minor reduce runs
+#                 at 1/8 VPU width (the narrow-minor trap, NOTES.md).
+#   "split_bdh" — per-block (F_i, B, D) reshape + axis-2 reduce (the
+#                 proven reduce form, applied per block so only the
+#                 SMALL (F_i, B) results concatenate — targets the
+#                 ~0.45 ms big-concat + backward-split cluster).
+# Default decided by TPU ABAB — see BASELINE.md round 4.
+CIN_POOL_MODE = "concat"
+CIN_POOL_SPLIT = False  # back-compat alias for "split_flat" (tests)
 
 from ..utils import glorot_normal, glorot_uniform, l2_loss
 from ..ops.cin_interact import cin_interact, cin_interact_fm, pallas_cin_active
@@ -183,17 +188,24 @@ class CIN:
                 direct = fmap
             finals.append(direct)
 
-        if CIN_POOL_SPLIT:
+        mode = "split_flat" if CIN_POOL_SPLIT else CIN_POOL_MODE
+        if mode == "split_flat":
             pooled = []
             for direct in finals:
                 f_i = direct.shape[0]
                 # (f_i, B*D) -> (f_i*B, D) is a contiguous-row bitcast;
-                # the reduce then runs over the 16-lane minor axis with
-                # no relayout, and only the SMALL (f_i, B) results concat
+                # the reduce then runs over the 16-lane minor axis (the
+                # measured dead end — see CIN_POOL_MODE)
                 pooled.append(
                     jnp.sum(direct.reshape(f_i * B, D), axis=1)
                     .reshape(f_i, B)
                 )
+            result = jnp.concatenate(pooled, axis=0)  # (final_size, B)
+        elif mode == "split_bdh":
+            pooled = [
+                jnp.sum(direct.reshape(direct.shape[0], B, D), axis=2)
+                for direct in finals
+            ]
             result = jnp.concatenate(pooled, axis=0)  # (final_size, B)
         else:
             result = jnp.concatenate(finals, axis=0)  # (final_size, B*D)

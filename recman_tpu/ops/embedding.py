@@ -348,8 +348,15 @@ def _segment_matmul_from_sorted(sids, sg, vocab_size: int, tile_v: int = 512,
     return grad[:vocab_size]
 
 
+# Vocab-tile rows per grid step of the batched segmat kernel. Sweep
+# history (BASELINE.md round 3): 256 -> 565.6k, 512 -> 606.4k,
+# 1024 -> 615.8k, 2048 -> 617.6k ex/s — grid-step count dominates at the
+# bench config, so fewer/larger tiles win; 2048 shipped.
+SEGMAT_TILE_V = 2048
+
+
 def _segment_matmul_from_sorted_batched(sids, sg_t, vocab_size: int,
-                                        tile_v: int = 2048,
+                                        tile_v: int | None = None,
                                         chunk_n: int | None = None,
                                         interpret: bool | None = None):
     """Batched kernel: (T, N) sorted ids + (T, k, N) TRANSPOSED permuted
@@ -376,6 +383,8 @@ def _segment_matmul_from_sorted_batched(sids, sg_t, vocab_size: int,
     from jax.experimental.pallas import tpu as pltpu
 
     t, k, n = sg_t.shape
+    if tile_v is None:
+        tile_v = SEGMAT_TILE_V
     tile_v = min(tile_v, _round_up(vocab_size, 8))
     v_pad = _round_up(vocab_size, tile_v)
     if chunk_n is None:
