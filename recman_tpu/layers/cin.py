@@ -32,10 +32,14 @@ import jax.numpy as jnp
 #                 at 1/8 VPU width (the narrow-minor trap, NOTES.md).
 #   "split_bdh" — per-block (F_i, B, D) reshape + axis-2 reduce (the
 #                 proven reduce form, applied per block so only the
-#                 SMALL (F_i, B) results concatenate — targets the
-#                 ~0.45 ms big-concat + backward-split cluster).
-# Default decided by TPU ABAB — see BASELINE.md round 4.
-CIN_POOL_MODE = "concat"
+#                 SMALL (F_i, B) results concatenate — kills the
+#                 big-concat + backward-split + relayout cluster).
+#                 ABAB-measured DEFAULT (tools/bench_r4e.py 2026-08-21,
+#                 TPU v5e): 720.5k vs 677.1k ex/s median (+6.4%) at the
+#                 headline config; 4 consistent rounds. Only the
+#                 field-major (TPU Pallas) tail is affected — the
+#                 batch-major SPMD/CPU path is unchanged.
+CIN_POOL_MODE = "split_bdh"
 CIN_POOL_SPLIT = False  # back-compat alias for "split_flat" (tests)
 
 from ..utils import glorot_normal, glorot_uniform, l2_loss
