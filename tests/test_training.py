@@ -477,3 +477,50 @@ class TestStepsPerDispatch:
                 np.asarray(t_grp.state.params[name]),
                 rtol=1e-5, atol=1e-6, err_msg=name,
             )
+
+
+class TestLambPartitioned:
+    def test_exclusions_route_to_adam(self):
+        """lamb_partitioned: 1-D params + *_feat_embed tables get plain
+        Adam updates; dense matrices get LAMB (trust-ratio-scaled)."""
+        import optax
+
+        from recman_tpu.training.lr_schedule import lamb_partitioned
+
+        import jax.numpy as jnp
+
+        params = {
+            "C1_feat_embed": jnp.ones((64, 4)) * 0.5,
+            "linear_w": jnp.ones((64,)) * 0.5,
+            "dnn_layer_0_weights": jnp.ones((8, 8)) * 0.5,
+        }
+        grads = jax.tree.map(jnp.ones_like, params)
+        opt = lamb_partitioned(0.1)
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+
+        adam_ref = optax.adam(0.1)
+        au, _ = adam_ref.update(grads, adam_ref.init(params), params)
+        # excluded params: identical to plain adam
+        np.testing.assert_allclose(
+            np.asarray(updates["C1_feat_embed"]),
+            np.asarray(au["C1_feat_embed"]), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(updates["linear_w"]),
+            np.asarray(au["linear_w"]), rtol=1e-6)
+        # dense matrix: trust-ratio-scaled -> differs from plain adam
+        assert not np.allclose(
+            np.asarray(updates["dnn_layer_0_weights"]),
+            np.asarray(au["dnn_layer_0_weights"]))
+
+    def test_trains_end_to_end(self, synthetic_df, synthetic_features):
+        from recman_tpu.models import XDeepFM
+        from recman_tpu.training.lr_schedule import lamb_partitioned
+
+        model = XDeepFM(synthetic_features)
+        t = Trainer(model, {"learning_rate": 1e-3,
+                            "optimizer": lamb_partitioned(0.01)},
+                    metrics=(LogLoss(),), epoch=1, batch_size=8)
+        y = synthetic_df["LABEL"].values
+        t.fit(synthetic_df, y, random_seed_for_mini_batch=False)
+        assert np.isfinite(t.last_mean_loss)
