@@ -71,6 +71,10 @@ def main():
         for i in range(len(idx_mat) // UNROLL)
     ]
 
+    from jax.sharding import SingleDeviceSharding
+
+    dev0 = jax.devices()[0]
+
     def pin_fmt(tree):
         """Format pytree: row-major for 2-D *_feat_embed-shaped leaves in
         params-keyed dicts, AUTO (None) elsewhere."""
@@ -78,7 +82,7 @@ def main():
             keys = [getattr(p, "key", None) for p in path]
             if any(isinstance(k, str) and k.endswith("_feat_embed")
                    for k in keys) and getattr(leaf, "ndim", 0) == 2:
-                return Format(Layout((0, 1)))
+                return Format(Layout((0, 1)), SingleDeviceSharding(dev0))
             return None
 
         import jax.tree_util as jtu
