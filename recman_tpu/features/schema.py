@@ -100,12 +100,23 @@ class SparseFeat(Feature):
     cardinality; the stored size is +1 for the OOV row.
     """
 
-    def __init__(self, name, feat_size=None, weights=None, encoder=None, description=None):
+    def __init__(self, name, feat_size=None, weights=None, encoder=None,
+                 description=None, qr_collisions=None):
         super().__init__(name, description)
         self.encoder = encoder if encoder is not None else VocabEncoder()
         self._declared_size = feat_size
         self.feat_size = (feat_size + 1) if feat_size is not None else None
         self._weights = weights
+        # QR compositional embedding (Shi et al. 2019, arXiv:1909.02107 —
+        # the DLRM-companion memory-reduction technique): when set to q,
+        # the embedding layer stores TWO tables — quotient (ceil(V/q), k)
+        # and remainder (q, k) — and a row is their SUM at (id//q, id%q).
+        # Memory shrinks ~q/2x for q ≈ sqrt(V) while every id keeps a
+        # UNIQUE composed vector (unlike plain hashing, which aliases
+        # rows). Embedding-table memory is THE CTR scale axis; this
+        # complements int8 serving, rowwise-Adam moments, and row
+        # sharding. Single-id sparse features only.
+        self.qr_collisions = qr_collisions
 
     def initialize(self, X):
         self.encoder.fit(np.asarray(X))
@@ -141,11 +152,12 @@ class HashedSparseFeat(SparseFeat):
     by 1 so row 0 stays a dedicated null/missing slot.
     """
 
-    def __init__(self, name, num_buckets, description=None):
+    def __init__(self, name, num_buckets, description=None, qr_collisions=None):
         Feature.__init__(self, name, description)
         self.encoder = None
         self.feat_size = num_buckets + 1
         self.num_buckets = num_buckets
+        self.qr_collisions = qr_collisions  # see SparseFeat
 
     def initialize(self, X):
         pass

@@ -143,11 +143,15 @@ def _feature_to_json(feat) -> dict:
     if isinstance(feat, HashedSparseFeat):
         d["type"] = "hashed_sparse"
         d["num_buckets"] = feat.num_buckets
+        if feat.qr_collisions is not None:
+            d["qr_collisions"] = int(feat.qr_collisions)
     elif isinstance(feat, SparseFeat):
         d["type"] = "sparse"
         d["feat_size"] = feat.feat_size
         d["encoder"] = _vocab_encoder_to_json(feat.encoder)
         d["weights"] = _weights_to_json(feat._weights)
+        if feat.qr_collisions is not None:
+            d["qr_collisions"] = int(feat.qr_collisions)
     elif isinstance(feat, SparseValueFeat):
         d["type"] = "sparse_value"
         d["feat_size"] = feat.feat_size
@@ -206,12 +210,14 @@ def schema_from_json(s: str) -> FeatureSet:
         t = d["type"]
         name, desc = d["name"], d.get("description")
         if t == "sparse":
-            f = SparseFeat(name, description=desc)
+            f = SparseFeat(name, description=desc,
+                           qr_collisions=d.get("qr_collisions"))
             f.encoder = _vocab_encoder_from_json(d["encoder"])
             f.feat_size = d["feat_size"]
             f._weights = _weights_from_json(d.get("weights"))
         elif t == "hashed_sparse":
-            f = HashedSparseFeat(name, d["num_buckets"], description=desc)
+            f = HashedSparseFeat(name, d["num_buckets"], description=desc,
+                                 qr_collisions=d.get("qr_collisions"))
         elif t == "sparse_value":
             f = SparseValueFeat(name, description=desc)
             f.encoder = _vocab_encoder_from_json(d["encoder"])

@@ -75,20 +75,62 @@ class EmbeddingLayer:
     def _owns_table(self, feat) -> bool:
         return not isinstance(feat, SequenceFeat)  # sequence feats tie to id_feat
 
+    def _is_qr(self, feat) -> bool:
+        """QR compositional embedding (features/schema.py qr_collisions):
+        quotient + remainder tables replace the full (V, k) table."""
+        return (
+            getattr(feat, "qr_collisions", None) is not None
+            and self._owns_table(feat)
+        )
+
     def init(self, key) -> dict:
         params = {}
         owners = [f for f in self.feats if self._owns_table(f)]
         keys = split_rng(key, max(len(owners), 1))
         for sub, feat in zip(keys, owners):
             name = f"{self.prefix}{feat.name}_feat_embed"
-            params[name] = glorot_normal(sub, (feat.feat_size, self.embedding_size))
+            if self._is_qr(feat):
+                if not isinstance(feat, SparseFeat) or isinstance(
+                    feat, SparseValueFeat
+                ):
+                    raise NotImplementedError(
+                        "qr_collisions is supported for single-id sparse "
+                        f"features only (got {type(feat).__name__} for "
+                        f"{feat.name!r})"
+                    )
+                q = int(feat.qr_collisions)
+                assert 1 < q < feat.feat_size, (
+                    f"qr_collisions for {feat.name!r} must be in "
+                    f"(1, feat_size); got {q} vs {feat.feat_size}"
+                )
+                kq, kr = split_rng(sub, 2)
+                params[f"{name}_q"] = glorot_normal(
+                    kq, (-(-feat.feat_size // q), self.embedding_size)
+                )
+                params[f"{name}_r"] = glorot_normal(
+                    kr, (q, self.embedding_size)
+                )
+            else:
+                params[name] = glorot_normal(
+                    sub, (feat.feat_size, self.embedding_size)
+                )
             if self.use_bias:
                 # 1-D storage (see layers/linear.py init: (V, 1) tiles as
-                # T(1,128), 8x lane-padded update traffic)
+                # T(1,128), 8x lane-padded update traffic). QR features
+                # keep the full-size bias — a (V,) vector is not the
+                # memory problem the QR tables solve.
                 params[f"{self.prefix}{feat.name}_feat_bias"] = jnp.zeros(
                     (feat.feat_size,), dtype=jnp.float32
                 )
         return params
+
+    def _qr_rows(self, params, feat, ids):
+        """rows(id) = Q[id // q] + R[id % q] — each id keeps a unique
+        composed vector while memory shrinks to (V/q + q) rows."""
+        q = int(feat.qr_collisions)
+        tq = params[f"{self.prefix}{feat.name}_feat_embed_q"]
+        tr = params[f"{self.prefix}{feat.name}_feat_embed_r"]
+        return embedding_lookup(tq, ids // q) + embedding_lookup(tr, ids % q)
 
     def _tables(self, params, feat):
         owner = feat.id_feat.name if isinstance(feat, SequenceFeat) else feat.name
@@ -100,6 +142,14 @@ class EmbeddingLayer:
 
     def _lookup(self, params, feat, batch):
         """Per-feature lookup -> (embeds (B, n_slots, k), bias (B, n_slots, 1))."""
+        if self._is_qr(feat):
+            ids = batch[feat.name]
+            embeds = self._qr_rows(params, feat, ids)[:, None, :]
+            bias = None
+            if self.use_bias:
+                bias_vec = params[f"{self.prefix}{feat.name}_feat_bias"]
+                bias = embedding_lookup(bias_vec[:, None], ids)[:, None, :]
+            return embeds, bias
         table, bias_table = self._tables(params, feat)
 
         def one(t, width):
@@ -131,6 +181,7 @@ class EmbeddingLayer:
         plain = [
             f for f in self.feats
             if isinstance(f, SparseFeat) and not isinstance(f, SparseValueFeat)
+            and not self._is_qr(f)  # QR feats have no single (V, k) table
         ]
         embeds_by_name, bias_by_name = {}, {}
         if plain:
@@ -171,7 +222,14 @@ class EmbeddingLayer:
         """Summed per-table L2 (reference layers.py:188-193, 263-267)."""
         total = 0.0
         for feat in self.feats:
-            if self._owns_table(feat):
+            if not self._owns_table(feat):
+                continue
+            if self._is_qr(feat):
+                total += self.l2_reg * (
+                    l2_loss(params[f"{self.prefix}{feat.name}_feat_embed_q"])
+                    + l2_loss(params[f"{self.prefix}{feat.name}_feat_embed_r"])
+                )
+            else:
                 total += self.l2_reg * l2_loss(
                     params[f"{self.prefix}{feat.name}_feat_embed"]
                 )

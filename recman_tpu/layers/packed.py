@@ -55,6 +55,9 @@ class PackedEmbeddingLinear:
             f
             for f in embeddings.feats
             if f.name in linear_names and not isinstance(f, SequenceFeat)
+            # QR features have no single (V, k) table to pack; they route
+            # through the unpacked quotient+remainder lookups
+            and getattr(f, "qr_collisions", None) is None
         ]
         self._packable_names = {f.name for f in self.packable}
 

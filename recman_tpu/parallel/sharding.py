@@ -42,6 +42,9 @@ def param_specs(params: dict, row_shard_threshold=50_000,
         rows = value.shape[0] if value.ndim else 0
         is_vocab_array = (
             name.endswith("_feat_embed")
+            or name.endswith("_feat_embed_q")  # QR quotient table: its
+            # rows scale with V/q and row-shard like a full table (ids//q
+            # address it directly, so tail padding stays unaddressed)
             or name.endswith("_feat_bias")
             or name.endswith("linear_w")
         )
@@ -91,6 +94,7 @@ def place_params(params: dict, mesh, specs: dict | None = None,
         spec = specs[name]
         is_vocab_array = (
             name.endswith("_feat_embed")
+            or name.endswith("_feat_embed_q")
             or name.endswith("_feat_bias")
             or name.endswith("linear_w")
         )

@@ -180,7 +180,11 @@ class Predictor:
         def _is_table(k, a):
             return (
                 quantize_embeddings
-                and k.endswith("_feat_embed")
+                and (
+                    k.endswith("_feat_embed")
+                    or k.endswith("_feat_embed_q")  # QR quotient table
+                    or k.endswith("_feat_embed_r")  # QR remainder table
+                )
                 and a.ndim == 2
                 and a.dtype == np.float32
             )
