@@ -47,10 +47,15 @@ class VocabEncoder:
     inputs.py:361-371.
     """
 
-    def __init__(self, shuffle_seed: int | None = None):
+    def __init__(self, shuffle_seed: int | None = None,
+                 min_count: int | None = None):
         self.classes_: np.ndarray | None = None
         self._index: dict | None = None
         self.shuffle_seed = shuffle_seed
+        # frequency floor: values seen fewer than min_count times at fit
+        # map to OOV (standard CTR vocab pruning — rare ids' embeddings
+        # never train past their init anyway and waste table rows)
+        self.min_count = min_count
 
     @property
     def vocab_size(self) -> int:
@@ -60,7 +65,11 @@ class VocabEncoder:
 
     def fit(self, values) -> "VocabEncoder":
         values = np.asarray(values)
-        self.classes_ = np.unique(values)
+        if self.min_count is not None and self.min_count > 1:
+            uniq, counts = np.unique(values, return_counts=True)
+            self.classes_ = uniq[counts >= self.min_count]
+        else:
+            self.classes_ = np.unique(values)
         if self.shuffle_seed is not None:
             rs = np.random.RandomState(self.shuffle_seed)
             self.classes_ = self.classes_[rs.permutation(len(self.classes_))]

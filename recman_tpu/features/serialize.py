@@ -82,11 +82,14 @@ def _vocab_encoder_to_json(enc: VocabEncoder):
     out = {"classes": _classes_to_json(enc.classes_)}
     if getattr(enc, "shuffle_seed", None) is not None:
         out["shuffle_seed"] = enc.shuffle_seed
+    if getattr(enc, "min_count", None) is not None:
+        out["min_count"] = enc.min_count
     return out
 
 
 def _vocab_encoder_from_json(obj) -> VocabEncoder:
-    enc = VocabEncoder(shuffle_seed=obj.get("shuffle_seed"))
+    enc = VocabEncoder(shuffle_seed=obj.get("shuffle_seed"),
+                       min_count=obj.get("min_count"))
     classes = _classes_from_json(obj["classes"])
     if classes is not None:
         enc.classes_ = classes
