@@ -27,12 +27,21 @@ def _run_demo(modes, port):
     env = dict(os.environ)
     # the demo manages its own XLA_FLAGS / platforms per subprocess
     env.pop("XLA_FLAGS", None)
-    out = subprocess.run(
-        [sys.executable, DEMO, "--port", str(port), "--modes", modes],
-        capture_output=True, text=True, timeout=840, env=env,
-    )
-    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
-    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    # one retry on a fresh port: the Gloo/coordination bootstrap is
+    # occasionally flaky under load (observed once as a
+    # CoordinationService PollForError worker abort); a retry
+    # distinguishes bootstrap flakes from real trajectory failures
+    last = None
+    for attempt, p in enumerate((port, port + 40)):
+        out = subprocess.run(
+            [sys.executable, DEMO, "--port", str(p), "--modes", modes],
+            capture_output=True, text=True, timeout=840, env=env,
+        )
+        last = out
+        if out.returncode == 0:
+            break
+    assert last.returncode == 0, (last.stdout[-1000:], last.stderr[-2000:])
+    rec = json.loads(last.stdout.strip().splitlines()[-1])
     assert rec["processes"] == 2 and rec["global_devices"] == 8
     assert rec["abs_delta"] < 1e-4
     return rec
