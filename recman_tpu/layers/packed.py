@@ -159,6 +159,14 @@ class PackedEmbeddingLinear:
                 cols.append(w[off : off + feat.feat_size][:, None])
                 packed_mats.append(jnp.concatenate(cols, axis=1))  # (V, k [+1] +1)
 
+            from ..ops import embedding as _emb_ops
+
+            if _emb_ops.PACKED_FWD_BF16:
+                # quality-gated opt-in (see the flag's rationale): halve
+                # the packed-path bytes end to end; grads re-enter f32 at
+                # the cast's vjp before Adam
+                packed_mats = [m.astype(jnp.bfloat16) for m in packed_mats]
+
             # phase 2: grouped lookup — same-shape features share one batched
             # sort/permute in the backward (ops.embedding_lookup_grouped)
             rows_list = embedding_lookup_grouped(packed_mats, ids_mats)

@@ -96,6 +96,17 @@ def _grad_kernel() -> str:
     return getattr(_state, "grad_kernel", "auto")
 
 
+# Trace-time opt-in: build the per-step packed [table|bias|w] matrices in
+# BFLOAT16 before the forward gathers. Halves the bytes of the packed
+# concat, its column->row relayout, the row gathers, the backward
+# cotangent sort/permute streams and the segmat kernel inputs (the CIN
+# tower already consumes bf16 multiplicands). NUMERICS-SHIFTING: forward
+# embeddings and their gradients quantize through bf16 (~0.4% grad
+# error), so this is quality-gated opt-in, never a silent default —
+# measured numbers in BASELINE.md round 4.
+PACKED_FWD_BF16 = False
+
+
 # "auto" default for the split-forward packed lookup (packed_lookup_grouped
 # vs concat-then-gather): MEASURED SLOWER on TPU (tools/bench_r4.py ABAB
 # 2026-08-21: split 601.5k/656.8k vs concat 612.9k/666.6k ex/s median at

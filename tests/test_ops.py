@@ -317,3 +317,40 @@ class TestSplitPackedLookup:
                 np.asarray(g_split[name]), np.asarray(g_concat[name]),
                 rtol=1e-4, atol=1e-6, err_msg=name,
             )
+
+
+class TestPackedFwdBf16:
+    def test_optin_close_to_f32_and_default_off(self, synthetic_df,
+                                                synthetic_features,
+                                                monkeypatch):
+        """PACKED_FWD_BF16 quantizes the packed forward through bf16:
+        loss within bf16 error of f32, grads within a few percent, and
+        the flag defaults OFF (trajectory-changing opt-in)."""
+        import recman_tpu.ops.embedding as emb
+        from recman_tpu.models import XDeepFM
+
+        assert emb.PACKED_FWD_BF16 is False  # default
+
+        model = XDeepFM(synthetic_features)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in synthetic_features.transform(
+                synthetic_df, y=synthetic_df["LABEL"].values
+            ).items()
+        }
+
+        def loss(p):
+            return model.loss(p, batch, training=False)
+
+        with fused_grad(True):
+            v32, g32 = jax.value_and_grad(loss)(params)
+            monkeypatch.setattr(emb, "PACKED_FWD_BF16", True)
+            v16, g16 = jax.value_and_grad(loss)(params)
+        assert abs(float(v32 - v16)) / abs(float(v32)) < 5e-3
+        for k in g32:
+            denom = float(jnp.abs(g32[k]).max()) + 1e-9
+            delta = float(jnp.abs(g32[k] - g16[k]).max())
+            # bf16 has ~8 mantissa bits; on this 16-row fixture small
+            # grads see larger relative error — bound rel OR abs
+            assert delta < max(0.06 * denom, 1e-2), (k, delta, denom)
