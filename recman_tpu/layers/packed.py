@@ -161,15 +161,21 @@ class PackedEmbeddingLinear:
 
             from ..ops import embedding as _emb_ops
 
-            if _emb_ops.PACKED_FWD_BF16:
-                # quality-gated opt-in (see the flag's rationale): halve
-                # the packed-path bytes end to end; grads re-enter f32 at
-                # the cast's vjp before Adam
+            _bf16 = _emb_ops._packed_fwd_bf16_active()
+            if _bf16:
+                # halve the packed-path bytes end to end (see
+                # ops.embedding.PACKED_FWD_BF16 for the measured gating)
                 packed_mats = [m.astype(jnp.bfloat16) for m in packed_mats]
 
             # phase 2: grouped lookup — same-shape features share one batched
             # sort/permute in the backward (ops.embedding_lookup_grouped)
             rows_list = embedding_lookup_grouped(packed_mats, ids_mats)
+            if _bf16:
+                # consumers (CIN custom-vjp residuals, DNN) keep their f32
+                # contracts; the cast's vjp turns their f32 cotangents back
+                # into bf16 BEFORE the sort/permute/segmat streams, so the
+                # backward keeps the halved bytes. Batch-sized cast only.
+                rows_list = [r.astype(jnp.float32) for r in rows_list]
 
         # phase 3: per-type postprocessing
         for feat, rows in zip(packable, rows_list):

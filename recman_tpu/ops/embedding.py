@@ -96,15 +96,29 @@ def _grad_kernel() -> str:
     return getattr(_state, "grad_kernel", "auto")
 
 
-# Trace-time opt-in: build the per-step packed [table|bias|w] matrices in
+# Trace-time flag: build the per-step packed [table|bias|w] matrices in
 # BFLOAT16 before the forward gathers. Halves the bytes of the packed
 # concat, its column->row relayout, the row gathers, the backward
 # cotangent sort/permute streams and the segmat kernel inputs (the CIN
-# tower already consumes bf16 multiplicands). NUMERICS-SHIFTING: forward
-# embeddings and their gradients quantize through bf16 (~0.4% grad
-# error), so this is quality-gated opt-in, never a silent default —
-# measured numbers in BASELINE.md round 4.
-PACKED_FWD_BF16 = False
+# tower already consumes bf16 multiplicands); gathered rows cast back to
+# f32 so every consumer keeps its dtype contract while the cast's vjp
+# returns the backward streams to bf16.
+#
+# NUMERICS-SHIFTING (forward embeddings + their gradients quantize
+# through bf16), so the default is "auto" = on ONLY in the regime that
+# was ABAB-measured AND quality-gated (TPU, fused single-shard path):
+# tools/bench_r4g.py 2026-08-21 — 762.8k vs 715.1k ex/s median (+6.7%),
+# 2M-synthetic quality 0.5219/0.8155 vs anchor 0.523/0.8144 (HOLDS).
+# CPU paths (incl. the ML-100K parity gate and the FusedAdamTrainer
+# bit-parity tests) and sharded traces (fused_grad(False)) resolve to
+# OFF, so their trajectories are unchanged. True/False force it.
+PACKED_FWD_BF16 = "auto"
+
+
+def _packed_fwd_bf16_active() -> bool:
+    if PACKED_FWD_BF16 == "auto":
+        return _fused_active() and jax.default_backend() == "tpu"
+    return bool(PACKED_FWD_BF16)
 
 
 # "auto" default for the split-forward packed lookup (packed_lookup_grouped

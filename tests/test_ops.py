@@ -329,7 +329,9 @@ class TestPackedFwdBf16:
         import recman_tpu.ops.embedding as emb
         from recman_tpu.models import XDeepFM
 
-        assert emb.PACKED_FWD_BF16 is False  # default
+        # default "auto" resolves OFF on CPU (quality-gated TPU regime only)
+        assert emb.PACKED_FWD_BF16 == "auto"
+        assert emb._packed_fwd_bf16_active() is False
 
         model = XDeepFM(synthetic_features)
         params = model.init_params(jax.random.PRNGKey(0))
@@ -348,9 +350,13 @@ class TestPackedFwdBf16:
             monkeypatch.setattr(emb, "PACKED_FWD_BF16", True)
             v16, g16 = jax.value_and_grad(loss)(params)
         assert abs(float(v32 - v16)) / abs(float(v32)) < 5e-3
+        # grads: finite, bf16-close in aggregate (per-element relative
+        # bounds are meaningless on a 16-row fixture's tiny grads), and
+        # actually DIFFERENT (the flag took effect)
+        total32 = total_delta = 0.0
         for k in g32:
-            denom = float(jnp.abs(g32[k]).max()) + 1e-9
-            delta = float(jnp.abs(g32[k] - g16[k]).max())
-            # bf16 has ~8 mantissa bits; on this 16-row fixture small
-            # grads see larger relative error — bound rel OR abs
-            assert delta < max(0.06 * denom, 1e-2), (k, delta, denom)
+            assert bool(jnp.isfinite(g16[k]).all()), k
+            total32 += float(jnp.sum(jnp.abs(g32[k])))
+            total_delta += float(jnp.sum(jnp.abs(g32[k] - g16[k])))
+        assert total_delta / total32 < 0.05, (total_delta, total32)
+        assert total_delta > 0.0

@@ -79,7 +79,7 @@ def main():
         t0 = time.perf_counter()
         state, losses = step(state, data, packs[0], layout)
         float(losses[-1])
-        emb.PACKED_FWD_BF16 = False
+        emb.PACKED_FWD_BF16 = "auto"
         print(f"variant {name}: compiled+warm in {time.perf_counter()-t0:.1f}s",
               flush=True)
         steps[name], states[name] = step, state
@@ -126,7 +126,7 @@ def main():
             "anchor": {"logloss": 0.523, "auc": 0.8144},
         }), flush=True)
     finally:
-        emb.PACKED_FWD_BF16 = False
+        emb.PACKED_FWD_BF16 = "auto"
 
 
 if __name__ == "__main__":
