@@ -179,12 +179,14 @@ def main(fused=None, grad_kernel=None):
         # UNROLL consecutive steps per dispatch: bit-identical to the
         # per-step loop (tests/test_training.py parity) and amortizes the
         # ~0.76 ms/step per-dispatch host latency of this machine's
-        # tunnel to ~0.19 ms (BASELINE.md dispatch study, 2026-08-20:
-        # u1 15.56 -> u4 15.04 ms/step same-session). An UNROLLED chain
-        # aliases the donated carry; a lax.scan-of-steps epoch instead
-        # COPIES the ~550 MB carry per iteration (measured 2x slower —
-        # NOTES.md dead ends).
-        UNROLL = 4
+        # tunnel (BASELINE.md dispatch study). An UNROLLED chain aliases
+        # the donated carry; a lax.scan-of-steps epoch instead COPIES the
+        # ~550 MB carry per iteration (measured 2x slower — NOTES.md dead
+        # ends). 8 was noise at 12.2 ms steps but wins 4/4 ABAB rounds at
+        # the round-4-final ~10.6 ms step (777.0k vs 770.6k median,
+        # tools/bench_r4b.py --variants A,A8 2026-08-21): the dispatch
+        # tail grew proportionally as the step shrank.
+        UNROLL = 8
         step_u = make_train_step_unrolled(model, optimizer, UNROLL)
 
     idx_mat = batch_indices(N_ROWS, BATCH_SIZE, shuffle_seed=0)
