@@ -219,10 +219,23 @@ class EmbeddingLayer:
         return {f.name: self._lookup(params, f, batch)[0] for f in self.feats}
 
     def l2(self, params):
-        """Summed per-table L2 (reference layers.py:188-193, 263-267)."""
+        """Summed per-table L2 (reference layers.py:188-193, 263-267).
+
+        Under stacked table storage (ops.embedding.stacked_tables) the
+        stacked feats' tables live in one (T, V, k) leaf: their L2 is one
+        reduce over the stack (mathematically the per-table sum; reduce
+        order differs in the last bits)."""
+        from ..ops.embedding import _stacked_ctx
+
+        sc = _stacked_ctx()
+        stacked_names = set(sc[0]) if sc is not None else ()
         total = 0.0
+        stacked_hit = False
         for feat in self.feats:
             if not self._owns_table(feat):
+                continue
+            if feat.name in stacked_names:
+                stacked_hit = True
                 continue
             if self._is_qr(feat):
                 total += self.l2_reg * (
@@ -233,4 +246,6 @@ class EmbeddingLayer:
                 total += self.l2_reg * l2_loss(
                     params[f"{self.prefix}{feat.name}_feat_embed"]
                 )
+        if stacked_hit:
+            total += self.l2_reg * l2_loss(sc[1])
         return total

@@ -38,9 +38,11 @@ from ..features import (
 )
 from ..ops.embedding import (
     _split_lookup_active,
+    _stacked_ctx,
     embedding_lookup,
     embedding_lookup_grouped,
     packed_lookup_grouped,
+    packed_lookup_stacked,
 )
 
 
@@ -60,6 +62,23 @@ class PackedEmbeddingLinear:
             and getattr(f, "qr_collisions", None) is None
         ]
         self._packable_names = {f.name for f in self.packable}
+
+    def stackable(self):
+        """Ordered name tuple of packable feats eligible for stacked
+        (T, V, k) table storage (ops.embedding.stacked_tables), or None.
+
+        Eligible = every packable feat is a 1-D-id sparse feat (no
+        multi-val row matrices), all share one feat_size, and the
+        embedding tower is bias-free — so one (T, V, k) leaf plus the
+        linear-w columns reconstructs every packed matrix."""
+        if self.embeddings.use_bias or not self.packable:
+            return None
+        if len({f.feat_size for f in self.packable}) != 1:
+            return None
+        for f in self.packable:
+            if isinstance(f, (MultiValCsvFeat, MultiValSparseFeat)):
+                return None
+        return tuple(f.name for f in self.packable)
 
     def _linear_w(self, params, training, override):
         w = params[f"{self.linear.prefix}linear_w"]
@@ -107,7 +126,37 @@ class PackedEmbeddingLinear:
             else:
                 ids_mats.append(batch[feat.name])
 
-        if fused is not None:
+        sc = _stacked_ctx() if fused is None else None
+        if (
+            sc is not None
+            and not use_bias
+            and tuple(f.name for f in packable) == sc[0]
+        ):
+            # stacked (T, V, k) table storage (ops.embedding.stacked_tables):
+            # ONE concat builds every packed [table|w] matrix as a (T, V,
+            # k+1) stack, forward gathers stay per-table (slices of the
+            # stack), and the batched segmat backward's (T, k+1, V) grad
+            # reaches the stacked leaf + linear_w with no per-table
+            # split/re-stack — and the optimizer sweeps the tables as a
+            # single fusion instead of T
+            stack = sc[1]
+            v = packable[0].feat_size
+            w_cols = jnp.stack([
+                w[lin.offsets[f.name]: lin.offsets[f.name] + v]
+                for f in packable
+            ])  # (T, V)
+            packed_stack = jnp.concatenate(
+                [stack[:, :v], w_cols[:, :, None]], axis=2
+            )
+            from ..ops import embedding as _emb_ops
+
+            _bf16 = _emb_ops._packed_fwd_bf16_active()
+            if _bf16:
+                packed_stack = packed_stack.astype(jnp.bfloat16)
+            rows_list = packed_lookup_stacked(packed_stack, ids_mats)
+            if _bf16:
+                rows_list = [r.astype(jnp.float32) for r in rows_list]
+        elif fused is not None:
             # fused backward+Adam training (training/fused_adam.py): gather
             # from persistent pre-packed storage (no per-step concat) with
             # the table detached, and add the zero perturbation whose

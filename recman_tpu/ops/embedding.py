@@ -232,6 +232,39 @@ def _fused_apply_ctx():
     return getattr(_state, "fused_apply", None)
 
 
+@contextlib.contextmanager
+def stacked_tables(names: tuple, stack):
+    """Trace packed lookups against ONE stacked (T, V, k) table leaf.
+
+    Round-5 storage experiment: the bench config's 26 same-shape tables
+    cost 26 separate Adam fusions (~35 us fixed overhead each on top of
+    the ~54 us bandwidth floor — ~0.9 ms/step total) plus a 26-way
+    split/re-stack of the batched segmat grad. Storing them as one
+    (T, V, k) parameter leaf makes the optimizer sweep a single fusion
+    and lets the backward's batched (T, C, V) grad flow to the leaf
+    unsplit (layers/packed.py consumes this context; the stacked-storage
+    train step installs it around model.loss with the traced leaf).
+
+    ``names``: feature names in stack order (must cover the packed
+    layer's full packable set — the trainer checks eligibility with
+    PackedEmbeddingLinear.stackable). Single-shard fused paths only,
+    like fused_apply; incompatible with dedup_exchange.
+    """
+    assert _dedup_ctx() is None, (
+        "stacked_tables is incompatible with dedup_exchange"
+    )
+    prev = getattr(_state, "stacked", None)
+    _state.stacked = (tuple(names), stack)
+    try:
+        yield
+    finally:
+        _state.stacked = prev
+
+
+def _stacked_ctx():
+    return getattr(_state, "stacked", None)
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
@@ -877,6 +910,72 @@ def embedding_lookup_multi(tables: list, ids_list: list) -> list:
     return [
         r.reshape(*i.shape, k) for r, i in zip(rows, ids_list)
     ]
+
+
+@jax.custom_vjp
+def _stacked_gather(packed, ids_mat):
+    """Gathers for stacked-storage packed lookups.
+
+    ``packed`` (T, V, C) — the per-feature [table|w] packed matrices as
+    ONE stacked array (a concat of the stacked (T, V, k) table leaf with
+    the linear-w columns); ``ids_mat`` (T, N) int32. Returns a tuple of
+    T (N, C) row arrays.
+
+    Forward gathers run PER TABLE from slices of the stack (the round-4
+    measurement that made PERMUTE_BATCHED_MAX_N=0: 26 concurrent 2-D
+    gathers overlap at ~1.6 ns/row while one batched 3-D gather
+    serializes; a slice of a stacked operand lowers to the same 2-D
+    gather with a base offset). The backward is the batched sorted
+    segmat exactly as _lookup_multi_bwd's — but its (T, C, V) grad
+    transposes straight into the (T, V, C) stack cotangent with NO
+    per-table split/re-stack.
+    """
+    t = packed.shape[0]
+    return tuple(
+        jnp.take(packed[i], ids_mat[i], axis=0) for i in range(t)
+    )
+
+
+def _stacked_gather_fwd(packed, ids_mat):
+    return _stacked_gather(packed, ids_mat), (ids_mat, packed.shape)
+
+
+def _stacked_gather_bwd(res, gs):
+    # cotangents carry the packed stack's dtype (bf16 under
+    # PACKED_FWD_BF16), so d_packed needs no cast
+    ids_mat, (t, vocab, c) = res
+    n = ids_mat.shape[1]
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (t, n))
+    sids, order = jax.lax.sort_key_val(
+        ids_mat.astype(jnp.int32), iota, dimension=1
+    )
+    if _segmat_multi_active(c):
+        sg_t = _permute_transposed(
+            [jnp.swapaxes(g, 0, 1) for g in gs], order
+        )  # (T, C, N)
+        grads_b = _segmat_batched_segmented(sids, sg_t, vocab)  # (T, C, V)
+        d_packed = jnp.swapaxes(grads_b, 1, 2)  # (T, V, C)
+    else:
+        sg_rows = [jnp.take(g, order[i], axis=0) for i, g in enumerate(gs)]
+        grads = _scatter_sorted_rows(
+            [sids[i] for i in range(t)], sg_rows, vocab, c, gs[0].dtype
+        )
+        d_packed = jnp.stack(grads)
+    return d_packed, None
+
+
+_stacked_gather.defvjp(_stacked_gather_fwd, _stacked_gather_bwd)
+
+
+def packed_lookup_stacked(packed, ids_list) -> list:
+    """Stacked-storage packed lookup (see stacked_tables): per-table
+    gathers from one (T, V, C) packed stack with a single batched
+    sort/permute/segmat backward whose (T, V, C) grad reaches the
+    stacked parameter leaf unsplit."""
+    ids_mat = jnp.stack(
+        [i.astype(jnp.int32).reshape(-1) for i in ids_list]
+    )
+    return list(_stacked_gather(packed, ids_mat))
 
 
 @jax.custom_vjp

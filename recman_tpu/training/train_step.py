@@ -224,6 +224,88 @@ def make_train_step_unrolled(model, optimizer, unroll: int):
     return jax.jit(step_fn, donate_argnums=(0,), static_argnames=("layout",))
 
 
+# -- stacked same-shape table storage ---------------------------------------
+# ops.embedding.stacked_tables has the rationale: one (T, V, k) leaf for
+# the packed layer's same-shape tables = ONE optimizer fusion instead of
+# T and an unsplit batched backward grad. Checkpoints/eval stay in the
+# reference-parity per-table form via the transforms below.
+
+STACKED_KEY = "__stacked_feat_embed"
+
+
+def stack_table_params(model, params) -> tuple[dict, tuple] | None:
+    """Per-table params -> stacked-storage params, or None if the model
+    has no eligible packed group (PackedEmbeddingLinear.stackable)."""
+    packed = getattr(model, "packed", None)
+    names = packed.stackable() if packed is not None else None
+    if not names:
+        return None
+    prefix = model.embeddings.prefix
+    keys = {f"{prefix}{n}_feat_embed" for n in names}
+    out = {k: v for k, v in params.items() if k not in keys}
+    out[STACKED_KEY] = jnp.stack(
+        [params[f"{prefix}{n}_feat_embed"] for n in names]
+    )
+    return out, names
+
+
+def unstack_table_params(model, params) -> dict:
+    """Stacked-storage params -> the reference-parity per-table dict
+    (checkpoint/eval/export form). No-op for unstacked params."""
+    if STACKED_KEY not in params:
+        return dict(params)
+    names = model.packed.stackable()
+    prefix = model.embeddings.prefix
+    out = {k: v for k, v in params.items() if k != STACKED_KEY}
+    stack = params[STACKED_KEY]
+    for i, n in enumerate(names):
+        out[f"{prefix}{n}_feat_embed"] = stack[i]
+    return out
+
+
+def _one_step_stacked(model, optimizer, names, state: TrainState, data: dict,
+                      idx, layout=()) -> tuple[TrainState, jnp.ndarray]:
+    """_one_step against stacked-storage params (STACKED_KEY leaf)."""
+    from ..ops import embedding as _emb_ops
+
+    rng, dropout_rng = jax.random.split(state.rng)
+    batch, weights = gather_batch(data, idx)
+    if layout:
+        batch = unpack_batch(batch, layout)
+
+    def loss_fn(params):
+        with _emb_ops.stacked_tables(names, params[STACKED_KEY]):
+            return model.loss(
+                params, batch, training=True, rng=dropout_rng, weights=weights
+            )
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    with jax.named_scope("optimizer_update"):
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1, rng), loss
+
+
+def make_train_step_stacked(model, optimizer, unroll: int, names: tuple):
+    """Unrolled train step over stacked-storage params (init the state
+    from stack_table_params' dict; same (state, data, idx_mat, layout)
+    signature as make_train_step_unrolled)."""
+    assert unroll >= 1
+
+    def step_fn(state: TrainState, data: dict, idx_mat, layout=()):
+        losses = []
+        for i in range(unroll):
+            state, loss = _one_step_stacked(
+                model, optimizer, names, state, data, idx_mat[i], layout
+            )
+            losses.append(loss)
+        return state, jnp.stack(losses)
+
+    return jax.jit(step_fn, donate_argnums=(0,), static_argnames=("layout",))
+
+
 def make_train_epoch(model, optimizer):
     """A whole epoch of train steps as ONE lax.scan dispatch.
 
