@@ -173,7 +173,12 @@ def main(fused=None, grad_kernel=None):
 
         state = fstate
     else:
-        from recman_tpu.training.train_step import make_train_step_unrolled
+        from recman_tpu.training.train_step import (
+            TrainState,
+            make_train_step_stacked,
+            make_train_step_unrolled,
+            stack_table_params,
+        )
 
         state = init_state(model, optimizer, jax.random.PRNGKey(0))
         # UNROLL consecutive steps per dispatch: bit-identical to the
@@ -187,7 +192,25 @@ def main(fused=None, grad_kernel=None):
         # tools/bench_r4b.py --variants A,A8 2026-08-21): the dispatch
         # tail grew proportionally as the step shrank.
         UNROLL = 8
-        step_u = make_train_step_unrolled(model, optimizer, UNROLL)
+        # DEFAULT: stacked (T, V, k) table storage — the 26 same-shape
+        # tables live as ONE leaf, so the Adam sweep is one fusion
+        # instead of 26 (~35 us fixed overhead each) and the batched
+        # segmat grad flows to it unsplit. ABAB 2026-08-21
+        # (tools/bench_r5a.py, 4/4 rounds): 864.0k vs 809.6k ex/s median
+        # (9.49 vs 10.11 ms/step, +6.7%); losses bit-match the per-table
+        # loop (tests/test_stacked.py CPU exactness + equal TPU loss
+        # traces). --per-table opts back into per-table leaves.
+        names = None if "--per-table" in sys.argv else (
+            model.packed.stackable()
+        )
+        if names:
+            params_s, names = stack_table_params(model, state.params)
+            state = TrainState(
+                params_s, optimizer.init(params_s), state.step, state.rng
+            )
+            step_u = make_train_step_stacked(model, optimizer, UNROLL, names)
+        else:
+            step_u = make_train_step_unrolled(model, optimizer, UNROLL)
 
     idx_mat = batch_indices(N_ROWS, BATCH_SIZE, shuffle_seed=0)
     idx_mat = idx_mat[(idx_mat >= 0).all(axis=1)]  # full batches only

@@ -145,15 +145,22 @@ class PackedEmbeddingLinear:
                 w[lin.offsets[f.name]: lin.offsets[f.name] + v]
                 for f in packable
             ])  # (T, V)
-            packed_stack = jnp.concatenate(
-                [stack[:, :v], w_cols[:, :, None]], axis=2
-            )
             from ..ops import embedding as _emb_ops
+            from ..ops.embedding import packed_lookup_stacked_split
 
             _bf16 = _emb_ops._packed_fwd_bf16_active()
-            if _bf16:
-                packed_stack = packed_stack.astype(jnp.bfloat16)
-            rows_list = packed_lookup_stacked(packed_stack, ids_mats)
+            if _emb_ops.STACKED_SPLIT_CONCAT:
+                s, wc = stack[:, :v], w_cols
+                if _bf16:
+                    s, wc = s.astype(jnp.bfloat16), wc.astype(jnp.bfloat16)
+                rows_list = packed_lookup_stacked_split(s, wc, ids_mats)
+            else:
+                packed_stack = jnp.concatenate(
+                    [stack[:, :v], w_cols[:, :, None]], axis=2
+                )
+                if _bf16:
+                    packed_stack = packed_stack.astype(jnp.bfloat16)
+                rows_list = packed_lookup_stacked(packed_stack, ids_mats)
             if _bf16:
                 rows_list = [r.astype(jnp.float32) for r in rows_list]
         elif fused is not None:

@@ -979,6 +979,73 @@ def packed_lookup_stacked(packed, ids_list) -> list:
 
 
 @jax.custom_vjp
+def _stacked_gather_split(stack, w_cols, ids_mat):
+    """Stacked-storage gathers with PER-TABLE packed concats.
+
+    Same contract as _stacked_gather, but the (V, C) packed matrices are
+    built per table from slices of the (T, V, k) stack + (T, V) w
+    columns — the default path's forward shape exactly — instead of one
+    (T, V, C) concat. Isolates the stacked-leaf layout question from
+    the 3-D-concat question (tools/bench_r5a.py variants S vs S2)."""
+    t = stack.shape[0]
+    return tuple(
+        jnp.take(
+            jnp.concatenate([stack[i], w_cols[i][:, None]], axis=1),
+            ids_mat[i], axis=0,
+        )
+        for i in range(t)
+    )
+
+
+def _stacked_gather_split_fwd(stack, w_cols, ids_mat):
+    return _stacked_gather_split(stack, w_cols, ids_mat), (
+        ids_mat, stack.shape
+    )
+
+
+def _stacked_gather_split_bwd(res, gs):
+    ids_mat, (t, vocab, k) = res
+    c = k + 1
+    n = ids_mat.shape[1]
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (t, n))
+    sids, order = jax.lax.sort_key_val(
+        ids_mat.astype(jnp.int32), iota, dimension=1
+    )
+    if _segmat_multi_active(c):
+        sg_t = _permute_transposed(
+            [jnp.swapaxes(g, 0, 1) for g in gs], order
+        )  # (T, C, N)
+        grads_b = _segmat_batched_segmented(sids, sg_t, vocab)  # (T, C, V)
+        d_stack = jnp.swapaxes(grads_b[:, :k, :], 1, 2)  # (T, V, k)
+        d_w = grads_b[:, k, :]  # (T, V)
+    else:
+        sg_rows = [jnp.take(g, order[i], axis=0) for i, g in enumerate(gs)]
+        grads = _scatter_sorted_rows(
+            [sids[i] for i in range(t)], sg_rows, vocab, c, gs[0].dtype
+        )
+        d_packed = jnp.stack(grads)  # (T, V, C)
+        d_stack = d_packed[:, :, :k]
+        d_w = d_packed[:, :, k]
+    return d_stack, d_w, None
+
+
+_stacked_gather_split.defvjp(_stacked_gather_split_fwd, _stacked_gather_split_bwd)
+
+
+# Stacked-storage forward form: True = per-table packed concats from
+# slices of the stacked leaf (_stacked_gather_split), False = one
+# (T, V, C) concat (_stacked_gather). Measurement flag for bench_r5a.
+STACKED_SPLIT_CONCAT = True
+
+
+def packed_lookup_stacked_split(stack, w_cols, ids_list) -> list:
+    ids_mat = jnp.stack(
+        [i.astype(jnp.int32).reshape(-1) for i in ids_list]
+    )
+    return list(_stacked_gather_split(stack, w_cols, ids_mat))
+
+
+@jax.custom_vjp
 def _lookup_multi_split(tables, vecs, ids_tuple):
     """Split-forward packed lookup: per table, gather (N, k) rows from the
     (V, k) table AND each (V,) vector column separately, returning the

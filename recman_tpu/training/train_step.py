@@ -263,6 +263,56 @@ def unstack_table_params(model, params) -> dict:
     return out
 
 
+def _map_param_shaped(tree, param_keys: frozenset, fn):
+    """Apply ``fn`` to every dict node whose key set equals ``param_keys``
+    — i.e. the param-shaped moment trees inside an optax state (adam's
+    mu/nu, adagrad's sum_of_squares, ...). Other nodes recurse."""
+    if isinstance(tree, dict):
+        if frozenset(tree.keys()) == param_keys:
+            return fn(tree)
+        return {
+            k: _map_param_shaped(v, param_keys, fn) for k, v in tree.items()
+        }
+    if hasattr(tree, "_fields"):  # optax NamedTuple states
+        return type(tree)(*(
+            _map_param_shaped(getattr(tree, f), param_keys, fn)
+            for f in tree._fields
+        ))
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(
+            _map_param_shaped(v, param_keys, fn) for v in tree
+        )
+    return tree
+
+
+def stack_train_state(model, state: TrainState) -> TrainState:
+    """Whole-TrainState per-table -> stacked transform: params AND every
+    param-shaped optimizer-moment tree. Pure reshaping — resuming from
+    the stacked form is trajectory-identical (tests/test_stacked.py)."""
+    res = stack_table_params(model, state.params)
+    if res is None:
+        return state
+    params_s, _ = res
+    keys = frozenset(state.params.keys())
+    opt_s = _map_param_shaped(
+        state.opt_state, keys, lambda d: stack_table_params(model, d)[0]
+    )
+    return TrainState(params_s, opt_s, state.step, state.rng)
+
+
+def unstack_train_state(model, state: TrainState) -> TrainState:
+    """Inverse of stack_train_state (no-op on per-table states)."""
+    if STACKED_KEY not in state.params:
+        return state
+    keys = frozenset(state.params.keys())
+    opt = _map_param_shaped(
+        state.opt_state, keys, lambda d: unstack_table_params(model, d)
+    )
+    return TrainState(
+        unstack_table_params(model, state.params), opt, state.step, state.rng
+    )
+
+
 def _one_step_stacked(model, optimizer, names, state: TrainState, data: dict,
                       idx, layout=()) -> tuple[TrainState, jnp.ndarray]:
     """_one_step against stacked-storage params (STACKED_KEY leaf)."""

@@ -73,6 +73,7 @@ class Trainer:
         eval_in_training_mode=False,
         epoch_in_one_dispatch=False,
         steps_per_dispatch=1,
+        stacked_tables="auto",
     ):
         hp = hparams or {}
         self.model = model
@@ -90,6 +91,17 @@ class Trainer:
         # tunnel, measured in BASELINE.md's dispatch study.
         self.steps_per_dispatch = int(steps_per_dispatch)
         self._train_step_unrolled = None  # built on first use
+        # stacked (T, V, k) table storage for the unrolled hot loop
+        # (ops.embedding.stacked_tables): one optimizer fusion for the
+        # packed layer's same-shape tables instead of T. "auto" = on for
+        # the TPU fused single-shard path only (ABAB 864.0k vs 809.6k
+        # ex/s, +6.7%, tools/bench_r5a.py 2026-08-21; trajectory
+        # bit-identical — tests/test_stacked.py). True forces it on any
+        # backend; False disables. The state converts to stacked form
+        # only INSIDE the epoch's dispatch loop; everything observable
+        # (self.state, checkpoints, eval, resilience) stays per-table.
+        self.stacked_tables = stacked_tables
+        self._train_step_stacked = None  # built on first use
 
         self.optimizer = create_optimizer(
             hp.get(BaseHyperParameters.Optimizer, "adam"),
@@ -457,6 +469,19 @@ class Trainer:
         to produce per-shard local indices."""
         return batch_indices(n, self.batch_size, shuffle_seed=shuffle_seed)
 
+    def _stacked_active(self) -> bool:
+        """Should fit's dispatch loop run on stacked table storage?"""
+        mode = self.stacked_tables
+        if mode in (False, "off"):
+            return False
+        packed = getattr(self.model, "packed", None)
+        eligible = packed is not None and packed.stackable() is not None
+        if mode in (True, "on"):
+            return eligible
+        from ..ops.embedding import _fused_active
+
+        return eligible and _fused_active()
+
     def _steps_per_epoch(self, n: int) -> int:
         """Rows of ``_batch_index_matrix(n)`` — fit()'s resume arithmetic
         must match it exactly (overridden alongside it by sharded-dataset
@@ -594,20 +619,47 @@ class Trainer:
                     # grouped dispatches; the non-divisible tail runs through
                     # the per-step path, preserving exact step-count/rng parity
                     u = self.steps_per_dispatch
-                    if self._train_step_unrolled is None:
-                        from .train_step import make_train_step_unrolled
-
-                        self._train_step_unrolled = make_train_step_unrolled(
-                            self.model, self.optimizer, u
-                        )
                     losses = []
                     full = (idx.shape[0] // u) * u
-                    for s in range(0, full, u):
-                        self.state, lvec = self._train_step_unrolled(
-                            self.state, data, jnp.asarray(idx[s : s + u]), layout
+                    # stacked table storage for the dispatch loop (see
+                    # __init__): trajectory-identical, so mixing with the
+                    # per-table tail/resume paths is safe. Resilience
+                    # checkpoints read self.state INSIDE the loop
+                    # (step_boundary), so it keeps the per-table loop.
+                    if resilience is None and self._stacked_active():
+                        from .train_step import (
+                            make_train_step_stacked,
+                            stack_train_state,
+                            unstack_train_state,
                         )
-                        losses.append(lvec)
-                        _step_done(s + u - 1)
+
+                        if self._train_step_stacked is None:
+                            self._train_step_stacked = make_train_step_stacked(
+                                self.model, self.optimizer, u,
+                                self.model.packed.stackable(),
+                            )
+                        sstate = stack_train_state(self.model, self.state)
+                        for s in range(0, full, u):
+                            sstate, lvec = self._train_step_stacked(
+                                sstate, data, jnp.asarray(idx[s : s + u]),
+                                layout,
+                            )
+                            losses.append(lvec)
+                        self.state = unstack_train_state(self.model, sstate)
+                    else:
+                        if self._train_step_unrolled is None:
+                            from .train_step import make_train_step_unrolled
+
+                            self._train_step_unrolled = make_train_step_unrolled(
+                                self.model, self.optimizer, u
+                            )
+                        for s in range(0, full, u):
+                            self.state, lvec = self._train_step_unrolled(
+                                self.state, data, jnp.asarray(idx[s : s + u]),
+                                layout,
+                            )
+                            losses.append(lvec)
+                            _step_done(s + u - 1)
                     for i in range(full, idx.shape[0]):
                         losses.append(self.fit_on_batch(data, idx[i], layout))
                         _step_done(i)

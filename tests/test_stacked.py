@@ -122,6 +122,43 @@ def test_stackable_eligibility():
     assert packed_b.stackable() is None
 
 
+def test_trainer_stacked_fit_matches_per_table():
+    """Trainer(stacked_tables=True) trains bit-identically to the
+    per-table loop and leaves self.state in per-table (checkpoint) form."""
+    from recman_tpu.training.trainer import Trainer
+
+    data = synthetic_criteo_arrays(256, num_buckets=50, seed=7)
+    y = data.pop("y")
+
+    def _fit(stacked):
+        model = _tiny_model()
+        tr = Trainer(
+            model, {"learning_rate": 1e-3}, epoch=2, batch_size=64,
+            steps_per_dispatch=4, stacked_tables=stacked,
+        )
+        # deterministic shuffles so both runs see identical batches
+        tr.fit(dict(data), y, random_seed_for_mini_batch=False)
+        return tr
+
+    with emb.fused_grad(True):
+        tr_a = _fit(False)
+        tr_s = _fit(True)
+
+    assert STACKED_KEY not in tr_s.state.params
+    assert set(tr_a.state.params) == set(tr_s.state.params)
+    for k in tr_a.state.params:
+        np.testing.assert_array_equal(
+            np.asarray(tr_a.state.params[k]), np.asarray(tr_s.state.params[k]),
+            err_msg=f"param {k} diverged under Trainer stacked storage",
+        )
+    # optimizer moments round-trip through the stacked form bit-exactly
+    flat_a = jax.tree_util.tree_leaves(tr_a.state.opt_state)
+    flat_s = jax.tree_util.tree_leaves(tr_s.state.opt_state)
+    assert len(flat_a) == len(flat_s)
+    for a, s in zip(flat_a, flat_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(s))
+
+
 def test_stacked_ctx_requires_matching_names():
     """A ctx whose names don't cover the packable set is ignored (the
     per-table path still runs and reads per-table leaves)."""

@@ -77,9 +77,14 @@ def main():
         for i in range(max(len(idx_mat) // unroll, 1))
     ]
 
+    from recman_tpu.ops import embedding as emb
+
     names = [v.strip() for v in args.variants.split(",")]
     steps, states = {}, {}
     for name in names:
+        # S = stacked storage, one (T, V, C) packed concat;
+        # S2 = stacked storage, per-table packed concats (default form)
+        emb.STACKED_SPLIT_CONCAT = name != "S"
         if name == "A":
             step = make_train_step_unrolled(model, optimizer, unroll)
             state = init_state(model, optimizer, jax.random.PRNGKey(0))

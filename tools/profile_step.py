@@ -72,8 +72,9 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default=None)
-    ap.add_argument("--path", choices=("std", "fused"),
-                    default="std", help="which hot loop to profile")
+    ap.add_argument("--path", choices=("std", "per-table", "fused"),
+                    default="std", help="which hot loop to profile (std = "
+                    "the stacked-storage default bench.py ships)")
     ap.add_argument("--batch", type=int, default=None,
                     help="override the bench batch size")
     args = ap.parse_args()
@@ -113,9 +114,28 @@ def main():
             model, {"learning_rate": 1e-3}, batch_size=bench.BATCH_SIZE
         )
         state, step = trainer._fstate, trainer._fused_step
-    else:
+    elif args.path == "per-table":
         state = init_state(model, optimizer, jax.random.PRNGKey(0))
         step = make_train_step(model, optimizer)
+    else:
+        # default: the stacked-storage step bench.py ships (unroll=1 so
+        # per-step attribution matches the older profiles)
+        from recman_tpu.training.train_step import (
+            TrainState,
+            make_train_step_stacked,
+            stack_table_params,
+        )
+
+        base = init_state(model, optimizer, jax.random.PRNGKey(0))
+        params_s, names = stack_table_params(model, base.params)
+        state = TrainState(
+            params_s, optimizer.init(params_s), base.step, base.rng
+        )
+        step1 = make_train_step_stacked(model, optimizer, 1, names)
+
+        def step(state, data, idx, layout):
+            state, losses = step1(state, data, idx[None], layout)
+            return state, losses[0]
     batch_size = args.batch or bench.BATCH_SIZE
     idx_mat = batch_indices(bench.N_ROWS, batch_size, shuffle_seed=0)
     idx_mat = idx_mat[(idx_mat >= 0).all(axis=1)]
