@@ -24,8 +24,11 @@ from recman_tpu.data import create_criteo_features, synthetic_criteo_arrays
 from recman_tpu.models import XDeepFM
 from recman_tpu.training import create_optimizer, init_state
 from recman_tpu.training.train_step import (
+    TrainState,
+    make_train_step_stacked,
     make_train_step_unrolled,
     pack_dataset,
+    stack_table_params,
 )
 from recman_tpu.training.trainer import batch_indices
 
@@ -33,7 +36,8 @@ UNROLL = 2  # fewer dispatches matter less at 30+ ms steps; 2 keeps
 # compile time and HBM for the 64k activations in check
 
 
-def main(batches=(16_384, 32_768, 65_536), quality=True, cin_remat=False):
+def main(batches=(16_384, 32_768, 65_536), quality=True, cin_remat=False,
+         per_table=False):
     feat_dict = create_criteo_features(num_buckets=NUM_BUCKETS)
     model = XDeepFM(
         feat_dict,
@@ -54,7 +58,17 @@ def main(batches=(16_384, 32_768, 65_536), quality=True, cin_remat=False):
     for batch in batches:
         opt = create_optimizer("adam", 1e-3)
         state = init_state(model, opt, jax.random.PRNGKey(0))
-        step = make_train_step_unrolled(model, opt, UNROLL)
+        # stacked table storage is the product default (BASELINE.md
+        # round-5 trajectory); --per-table measures the old form
+        names = None if per_table else model.packed.stackable()
+        if names:
+            params_s, names = stack_table_params(model, state.params)
+            state = TrainState(
+                params_s, opt.init(params_s), state.step, state.rng
+            )
+            step = make_train_step_stacked(model, opt, UNROLL, names)
+        else:
+            step = make_train_step_unrolled(model, opt, UNROLL)
         idx_mat = batch_indices(rows, batch, shuffle_seed=0)
         idx_mat = idx_mat[(idx_mat >= 0).all(axis=1)]
         packs = [
@@ -103,6 +117,8 @@ if __name__ == "__main__":
     ap.add_argument("--no-quality", action="store_true")
     ap.add_argument("--cin-remat", action="store_true",
                     help="full-layer CIN remat (needed at batch 131072)")
+    ap.add_argument("--per-table", action="store_true",
+                    help="per-table table storage (the pre-round-5 default)")
     args = ap.parse_args()
     main(batches=tuple(args.batches), quality=not args.no_quality,
-         cin_remat=args.cin_remat)
+         cin_remat=args.cin_remat, per_table=args.per_table)
