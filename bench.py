@@ -29,7 +29,14 @@ BATCH_SIZE = 8192
 NUM_BUCKETS = 100_000
 N_ROWS = 65_536
 WARMUP_STEPS = 5
-MEASURE_STEPS = 30
+# 96 = 6 dispatches at UNROLL=16. The historical 30-step window would be
+# a single dispatch between syncs at unroll 16 — no steady-state window
+# at all — and even at unroll 8 it charged one tunnel round trip to only
+# 24 steps (~0.7 ms/step on this rig: the same round-4-default binary
+# measured 750.4k official / ~810k at a 64-step window — BASELINE.md
+# round-5 notes quantify the bias). Cross-round comparability: rounds
+# 1-2 measured 70-27 ms steps where the window term was <1%.
+MEASURE_STEPS = 96
 
 # TPU v5e (v5 lite) peak specs for the utilization report
 PEAK_BF16_FLOPS = 197e12  # per chip
@@ -191,7 +198,11 @@ def main(fused=None, grad_kernel=None):
         # the round-4-final ~10.6 ms step (777.0k vs 770.6k median,
         # tools/bench_r4b.py --variants A,A8 2026-08-21): the dispatch
         # tail grew proportionally as the step shrank.
-        UNROLL = 8
+        # 16 wins 4/4 ABAB at the stacked step's ~9.1-9.3 ms
+        # (tools/bench_r5a.py S2u16 vs S2u8 2026-08-21: 900.9k vs 882.6k
+        # median, +2.1% — the dispatch tail keeps growing proportionally
+        # as the step shrinks; 8 beat 4 at round-4's ~10.6 ms step).
+        UNROLL = 16
         # DEFAULT: stacked (T, V, k) table storage — the 26 same-shape
         # tables live as ONE leaf, so the Adam sweep is one fusion
         # instead of 26 (~35 us fixed overhead each) and the batched
@@ -230,14 +241,33 @@ def main(fused=None, grad_kernel=None):
     else:
         from recman_tpu.ops import embedding as emb_ops
 
+        # the dataset holds N_ROWS/BATCH_SIZE = 8 distinct full batches;
+        # tile them cyclically so every pack carries UNROLL index rows
+        # even when UNROLL exceeds the batch count
+        reps = -(-2 * UNROLL // len(idx_mat)) + 1
+        pool = np.concatenate([idx_mat] * reps)
         packs = [
-            jnp.asarray(idx_mat[(i * UNROLL) % len(idx_mat):][:UNROLL])
-            for i in range(len(idx_mat) // UNROLL)
+            jnp.asarray(pool[(i * UNROLL) % len(idx_mat):][:UNROLL])
+            for i in range(len(idx_mat))
         ]
         # the grad_kernel context is consulted at TRACE time (first call)
         with emb_ops.grad_kernel(grad_kernel):
             for i in range(max(WARMUP_STEPS // UNROLL, 2)):
-                state, losses = step_u(state, data, packs[i % len(packs)], layout)
+                try:
+                    state, losses = step_u(
+                        state, data, packs[i % len(packs)], layout
+                    )
+                except jax.errors.JaxRuntimeError:
+                    if i != 0:
+                        raise
+                    # this machine's remote-compile tunnel occasionally
+                    # drops the response mid-read on large programs
+                    # ("response body closed before all bytes were
+                    # read", seen once on the unroll-16 compile
+                    # 2026-08-21); one retry re-issues the compile
+                    state, losses = step_u(
+                        state, data, packs[i % len(packs)], layout
+                    )
             float(losses[-1])
             n_dispatch = MEASURE_STEPS // UNROLL
             t0 = time.perf_counter()

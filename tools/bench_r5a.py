@@ -69,35 +69,43 @@ def main():
     data = {k: jnp.asarray(v) for k, v in data.items()}
     optimizer = create_optimizer("adam", 1e-3)
 
-    unroll = args.unroll
     idx_mat = batch_indices(bench.N_ROWS, bench.BATCH_SIZE, shuffle_seed=0)
     idx_mat = idx_mat[(idx_mat >= 0).all(axis=1)]
-    packs = [
-        jnp.asarray(idx_mat[(i * unroll) % len(idx_mat):][:unroll])
-        for i in range(max(len(idx_mat) // unroll, 1))
-    ]
+
+    def make_packs(unroll):
+        return [
+            jnp.asarray(idx_mat[(i * unroll) % len(idx_mat):][:unroll])
+            for i in range(max(len(idx_mat) // unroll, 1))
+        ]
 
     from recman_tpu.ops import embedding as emb
 
     names = [v.strip() for v in args.variants.split(",")]
-    steps, states = {}, {}
+    # variant grammar: A | S | S2, with an optional uN suffix overriding
+    # --unroll (e.g. S2u16)
+    steps, states, packs_by, unroll_by = {}, {}, {}, {}
     for name in names:
+        base, _, usfx = name.partition("u")
+        unroll = int(usfx) if usfx else args.unroll
+        unroll_by[name] = unroll
+        packs = make_packs(unroll)
+        packs_by[name] = packs
         # S = stacked storage, one (T, V, C) packed concat;
         # S2 = stacked storage, per-table packed concats (default form)
-        emb.STACKED_SPLIT_CONCAT = name != "S"
-        if name == "A":
+        emb.STACKED_SPLIT_CONCAT = base != "S"
+        if base == "A":
             step = make_train_step_unrolled(model, optimizer, unroll)
             state = init_state(model, optimizer, jax.random.PRNGKey(0))
         else:
-            base = init_state(model, optimizer, jax.random.PRNGKey(0))
-            params_s, snames = stack_table_params(model, base.params)
+            bstate = init_state(model, optimizer, jax.random.PRNGKey(0))
+            params_s, snames = stack_table_params(model, bstate.params)
             print(f"stacked leaf: {params_s[STACKED_KEY].shape} over "
                   f"{len(snames)} tables", flush=True)
             state = TrainState(
                 params=params_s,
                 opt_state=optimizer.init(params_s),
-                step=base.step,
-                rng=base.rng,
+                step=bstate.step,
+                rng=bstate.rng,
             )
             step = make_train_step_stacked(model, optimizer, unroll, snames)
         t0 = time.perf_counter()
@@ -111,6 +119,7 @@ def main():
     for r in range(args.rounds):
         for name in names:
             step, state = steps[name], states[name]
+            unroll, packs = unroll_by[name], packs_by[name]
             n_disp = max(args.steps // unroll, 1)
             state, losses = step(state, data, packs[0], layout)
             float(losses[-1])
