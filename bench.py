@@ -113,14 +113,160 @@ def step_cost_model(batch=BATCH_SIZE, n_cat=26, vocab=NUM_BUCKETS, k=16,
     return flops, bytes_total
 
 
+def build_bench_setup():
+    """(model, data, layout, optimizer) for the headline config — shared
+    by the measurement loop and the --check numerics gate."""
+    import jax.numpy as jnp
+
+    from recman_tpu.data import create_criteo_features, synthetic_criteo_arrays
+    from recman_tpu.models import XDeepFM
+    from recman_tpu.training import create_optimizer
+    from recman_tpu.training.train_step import pack_dataset
+
+    feat_dict = create_criteo_features(num_buckets=NUM_BUCKETS)
+    model = XDeepFM(
+        feat_dict,
+        {
+            "embedding_size": 16,
+            "cin_cross_layer_units": (100, 100),
+            "cin_dropout": (1, 1, 1),
+            "deep_hidden_units": (400, 400),
+            "deep_dropout": (1.0, 1.0, 1.0),
+        },
+    )
+    data = synthetic_criteo_arrays(N_ROWS, num_buckets=NUM_BUCKETS, seed=2019)
+    data, layout = pack_dataset(data)
+    data = {k: jnp.asarray(v) for k, v in data.items()}
+    optimizer = create_optimizer("adam", 1e-3)
+    return model, data, layout, optimizer
+
+
+def run_check(check_steps=32, unroll=8, ml_anchor=True):
+    """The automated TPU-path numerics gate (VERDICT r4 item 3).
+
+    Trains the SHIPPED TPU hot path (stacked storage + segmat backward +
+    bf16 packed rows + fused Pallas CIN chain) and the f32/unfused
+    reference path (fused_grad(False) — the exact code the CPU suite and
+    the sharded trainers certify) from IDENTICAL state on the SAME batch
+    sequence, and asserts a bounded loss-trace delta; optionally re-runs
+    the ML-100K anchor in a forced-CPU subprocess. One command replaces
+    the manual flip protocol. Exits nonzero on any failed bound.
+
+    Bounds (calibrated on TPU v5e, 2026-08-21, this file's git history):
+    the shipped path differs from f32 only through bf16 forward rows /
+    bf16 CIN multiplicands / MXU pooling reorder; measured max per-step
+    |delta| over 32 steps ~2e-3 band. The gate allows 3x headroom.
+    """
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from recman_tpu.ops import embedding as emb_ops
+    from recman_tpu.training import init_state
+    from recman_tpu.training.train_step import (
+        TrainState,
+        make_train_step_stacked,
+        make_train_step_unrolled,
+        stack_table_params,
+    )
+    from recman_tpu.training.trainer import batch_indices
+
+    model, data, layout, optimizer = build_bench_setup()
+    idx_mat = batch_indices(N_ROWS, BATCH_SIZE, shuffle_seed=0)
+    idx_mat = idx_mat[(idx_mat >= 0).all(axis=1)]
+    reps = -(-check_steps // len(idx_mat)) + 1
+    idx_pool = np.concatenate([np.asarray(idx_mat)] * reps)[:check_steps]
+    packs = [
+        jnp.asarray(idx_pool[s : s + unroll])
+        for s in range(0, check_steps, unroll)
+    ]
+
+    base = init_state(model, optimizer, jax.random.PRNGKey(0))
+
+    # --- shipped path: stacked storage, product-default flags
+    params_s, snames = stack_table_params(model, base.params)
+    state_a = TrainState(
+        params_s, optimizer.init(params_s), base.step, base.rng
+    )
+    step_a = make_train_step_stacked(model, optimizer, unroll, snames)
+    losses_a = []
+    for pk in packs:
+        state_a, lvec = step_a(state_a, data, pk, layout)
+        losses_a.append(np.asarray(lvec))
+    trace_a = np.concatenate(losses_a)
+
+    # --- reference path: unfused f32 (scatter backward, einsum CIN,
+    # f32 packed rows) — what the CPU suite bit-certifies
+    state_b = init_state(model, optimizer, jax.random.PRNGKey(0))
+    step_b = make_train_step_unrolled(model, optimizer, unroll)
+    losses_b = []
+    with emb_ops.fused_grad(False):
+        for pk in packs:
+            state_b, lvec = step_b(state_b, data, pk, layout)
+            losses_b.append(np.asarray(lvec))
+    trace_b = np.concatenate(losses_b)
+
+    delta = np.abs(trace_a - trace_b)
+    max_delta = float(delta.max())
+    final_rel = float(abs(trace_a[-1] - trace_b[-1]) / max(trace_b[-1], 1e-9))
+    bound_abs, bound_rel = 6e-3, 0.01
+    ok = bool(max_delta <= bound_abs and final_rel <= bound_rel)
+    result = {
+        "metric": "tpu_path_numerics_check",
+        "steps": int(check_steps),
+        "max_loss_delta": round(max_delta, 6),
+        "final_loss_shipped": round(float(trace_a[-1]), 6),
+        "final_loss_reference": round(float(trace_b[-1]), 6),
+        "final_rel_delta": round(final_rel, 6),
+        "bound_abs": bound_abs,
+        "bound_rel": bound_rel,
+        "loss_trace_ok": ok,
+    }
+
+    if ml_anchor and ok:
+        import re
+        import subprocess
+
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax; jax.config.update('jax_platforms', 'cpu');"
+                "from recman_tpu.examples.xdeepfm_ml import main;"
+                "main(frac=0.5, epoch=1)",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        m = re.search(
+            r"TEST logloss=([\d.]+) auc=([\d.]+)",
+            proc.stdout + proc.stderr,
+        )
+        if m:
+            ll, auc = float(m.group(1)), float(m.group(2))
+            ml_ok = 0.575 <= ll <= 0.615 and 0.718 <= auc <= 0.748
+            result.update(
+                ml_logloss=ll, ml_auc=auc, ml_anchor_ok=bool(ml_ok)
+            )
+            ok = ok and ml_ok
+        else:
+            result.update(ml_anchor_ok=False, ml_error="no result parsed")
+            ok = False
+
+    result["ok"] = bool(ok)
+    print(json.dumps(result))
+    if not ok:
+        sys.exit(1)
+
+
 def main(fused=None, grad_kernel=None):
     import sys
 
     import jax
     import jax.numpy as jnp
 
-    from recman_tpu.data import create_criteo_features, synthetic_criteo_arrays
-    from recman_tpu.models import XDeepFM
     from recman_tpu.training import create_optimizer, init_state, make_train_step
     from recman_tpu.training.trainer import batch_indices
 
@@ -238,6 +384,7 @@ def main(fused=None, grad_kernel=None):
         float(loss)
         elapsed = time.perf_counter() - t0
         measured_steps = MEASURE_STEPS
+        hist_examples_per_sec = None
     else:
         from recman_tpu.ops import embedding as emb_ops
 
@@ -246,8 +393,12 @@ def main(fused=None, grad_kernel=None):
         # even when UNROLL exceeds the batch count
         reps = -(-2 * UNROLL // len(idx_mat)) + 1
         pool = np.concatenate([idx_mat] * reps)
+        # stagger pack i by i rows over the tiled pool so consecutive
+        # dispatches start at different batch offsets (i*UNROLL %
+        # len(idx_mat) degenerates to a single repeated pack whenever
+        # UNROLL is a multiple of the batch count — round-4 advisor)
         packs = [
-            jnp.asarray(pool[(i * UNROLL) % len(idx_mat):][:UNROLL])
+            jnp.asarray(pool[i % len(idx_mat):][:UNROLL])
             for i in range(len(idx_mat))
         ]
         # the grad_kernel context is consulted at TRACE time (first call)
@@ -257,14 +408,19 @@ def main(fused=None, grad_kernel=None):
                     state, losses = step_u(
                         state, data, packs[i % len(packs)], layout
                     )
-                except jax.errors.JaxRuntimeError:
-                    if i != 0:
-                        raise
+                except jax.errors.JaxRuntimeError as e:
                     # this machine's remote-compile tunnel occasionally
                     # drops the response mid-read on large programs
                     # ("response body closed before all bytes were
                     # read", seen once on the unroll-16 compile
-                    # 2026-08-21); one retry re-issues the compile
+                    # 2026-08-21); one retry re-issues the compile.
+                    # Only the compile-time drop is retriable: it fires
+                    # BEFORE execution, so the donated state buffers are
+                    # still live. Any other runtime error may postdate
+                    # donation — retrying would mask it with a confusing
+                    # "Array has been deleted" (round-4 advisor).
+                    if i != 0 or "response body closed" not in str(e):
+                        raise
                     state, losses = step_u(
                         state, data, packs[i % len(packs)], layout
                     )
@@ -277,6 +433,27 @@ def main(fused=None, grad_kernel=None):
             elapsed = time.perf_counter() - t0
             measured_steps = n_dispatch * UNROLL
 
+            # SECOND window (VERDICT r4 item 4): the historical official
+            # window synced every 24 steps (30//8 dispatches at unroll 8)
+            # instead of every 96, charging ~1 extra tunnel round trip
+            # per 24-32 steps. Re-measure at the closest
+            # unroll-16-expressible equivalent (2 dispatches = 32 steps
+            # between syncs, median of 3 windows) so the JSON carries
+            # BOTH numbers and cross-round comparisons never silently
+            # mix windows again.
+            hist_rates = []
+            for w in range(3):
+                t0 = time.perf_counter()
+                for i in range(2):
+                    state, losses = step_u(
+                        state, data, packs[(w * 2 + i) % len(packs)], layout
+                    )
+                float(losses[-1])
+                hist_rates.append(
+                    2 * UNROLL * BATCH_SIZE / (time.perf_counter() - t0)
+                )
+            hist_examples_per_sec = float(np.median(hist_rates))
+
     examples_per_sec = measured_steps * BATCH_SIZE / elapsed
     sec_per_step = elapsed / measured_steps
     flops, hbm_bytes = step_cost_model()
@@ -287,6 +464,20 @@ def main(fused=None, grad_kernel=None):
                 "value": round(examples_per_sec, 1),
                 "unit": "examples/sec",
                 "vs_baseline": round(examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 3),
+                # value = the 96-step window (1 sync per 96 steps);
+                # value_hist_window = the historical-official-equivalent
+                # 32-steps-between-syncs window (rounds 1-4 synced every
+                # 24-30 steps; the window term was <1% at their 27-70 ms
+                # steps). vs_baseline divides `value` by the round-1
+                # 211,878.7 measured at the historical window.
+                "value_hist_window": (
+                    round(hist_examples_per_sec, 1)
+                    if hist_examples_per_sec is not None else None
+                ),
+                "vs_baseline_hist_window": (
+                    round(hist_examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 3)
+                    if hist_examples_per_sec is not None else None
+                ),
                 # absolute-utilization view (analytic step_cost_model):
                 # the step is HBM-bandwidth/latency-bound, so hbm_util is
                 # the roofline distance that matters; mfu is reported for

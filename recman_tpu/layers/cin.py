@@ -42,6 +42,16 @@ import jax.numpy as jnp
 CIN_POOL_MODE = "split_bdh"
 CIN_POOL_SPLIT = False  # back-compat alias for "split_flat" (tests)
 
+# Whole-chain fused kernel (ops/cin_chain.py): every layer + bias +
+# activation + direct-connect split + pooling in ONE forward and ONE
+# backward Pallas call — no (O, B*D) intermediate touches HBM in either
+# direction (the backward recomputes fmaps in VMEM, subsuming cin_remat).
+#   "auto" — use it whenever the field-major path is active AND the
+#            chain is eligible (supported activation, all in-chain
+#            dropout keeps == 1 or eval mode, geometry fits).
+#   "off"  — per-layer kernels (the round-4 default).
+CIN_CHAIN_MODE = "auto"
+
 from ..utils import glorot_normal, glorot_uniform, l2_loss
 from ..ops.cin_interact import cin_interact, cin_interact_fm, pallas_cin_active
 from .common import dropout, resolve_activation, split_rng
@@ -70,6 +80,9 @@ class CIN:
         self.field_size = field_size
         self.cross_layer_units = tuple(cross_layer_units)
         self.activation = resolve_activation(activation)
+        # the fused chain implements the activation in-kernel; it needs
+        # the NAME (callables fall back to the per-layer path)
+        self._act_name = activation if isinstance(activation, str) else None
         self.dropout_keep = tuple(dropout_keep)
         self.l2_reg = l2_reg
         self.prefix = prefix
@@ -154,6 +167,23 @@ class CIN:
         result = jnp.sum(result, axis=1)  # (B, final_size)
         return result @ params[f"{self.prefix}cin_w"] + params[f"{self.prefix}cin_w0"]
 
+    def _chain_eligible(self, training: bool, b: int, d: int) -> bool:
+        """Static eligibility of the whole-chain fused kernel for this
+        trace: supported activation name, no live in-chain dropout
+        (keeps past index 0 all >= 1, or eval mode — input dropout runs
+        BEFORE the chain and is unrestricted), and geometry the kernel
+        tiles (ops/cin_chain.py chain_supported)."""
+        if CIN_CHAIN_MODE == "off" or self._act_name is None:
+            return False
+        if training and any(k < 1.0 for k in self.dropout_keep[1:]):
+            return False
+        from ..ops.cin_chain import chain_supported
+
+        return chain_supported(
+            self.field_size, self.cross_layer_units, d, b * d,
+            self._act_name,
+        )
+
     def _apply_field_major(self, params, inputs, training, rng):
         """Pallas chain in (H, B*D) field-major layout: the fused kernel
         (ops/cin_interact.py) keeps z in VMEM and emits (O, B*D), whose
@@ -165,6 +195,28 @@ class CIN:
 
         x0 = dropout(rngs[0], inputs, self.dropout_keep[0], training)
         x0c = jnp.transpose(x0, (1, 0, 2)).reshape(H0, B * D)
+
+        if self._chain_eligible(training, B, D):
+            # ONE fused kernel per direction for the whole tower
+            # (ops/cin_chain.py): returns per-layer pooled direct blocks
+            # (F_i, B); their concat is the pooled (final_size, B)
+            # result. The backward recomputes fmaps in VMEM, so
+            # activation memory is O(B*D*H0) — cin_remat is subsumed.
+            from ..ops.cin_chain import cin_chain_fm
+
+            pooled = cin_chain_fm(
+                x0c,
+                [params[f"{self.prefix}cin_filter_{i}"]
+                 for i in range(len(self.cross_layer_units))],
+                [params[f"{self.prefix}cin_bias_{i}"]
+                 for i in range(len(self.cross_layer_units))],
+                self.cross_layer_units, D, self._act_name,
+            )
+            result = jnp.concatenate(pooled, axis=1)  # (B, final_size)
+            return (
+                result @ params[f"{self.prefix}cin_w"]
+                + params[f"{self.prefix}cin_w0"]
+            )
         xkc = x0c
         finals = []
 

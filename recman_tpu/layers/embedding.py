@@ -228,7 +228,23 @@ class EmbeddingLayer:
         from ..ops.embedding import _stacked_ctx
 
         sc = _stacked_ctx()
-        stacked_names = set(sc[0]) if sc is not None else ()
+        stacked_names = ()
+        if sc is not None:
+            # Mirror packed.apply's exact-match gate: substitute the
+            # stack's L2 only when the ctx tuple is exactly this layer's
+            # owned feats in order (same names, same sequence). A
+            # partially-matching ctx makes the forward fall back to
+            # per-table lookups, so l2 must charge the per-table leaves
+            # too — substituting the (wrong) stack would silently skew
+            # the regularization term (round-4 advisor finding).
+            in_ctx = set(sc[0])
+            own = tuple(
+                f.name for f in self.feats
+                if self._owns_table(f) and not self._is_qr(f)
+                and f.name in in_ctx
+            )
+            if own == sc[0]:
+                stacked_names = in_ctx
         total = 0.0
         stacked_hit = False
         for feat in self.feats:

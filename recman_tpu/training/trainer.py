@@ -639,13 +639,36 @@ class Trainer:
                                 self.model.packed.stackable(),
                             )
                         sstate = stack_train_state(self.model, self.state)
-                        for s in range(0, full, u):
-                            sstate, lvec = self._train_step_stacked(
-                                sstate, data, jnp.asarray(idx[s : s + u]),
-                                layout,
-                            )
-                            losses.append(lvec)
-                        self.state = unstack_train_state(self.model, sstate)
+                        try:
+                            for s in range(0, full, u):
+                                sstate, lvec = self._train_step_stacked(
+                                    sstate, data, jnp.asarray(idx[s : s + u]),
+                                    layout,
+                                )
+                                losses.append(lvec)
+                        finally:
+                            # Donation safety: stack_train_state shares
+                            # non-stacked leaves (+step/rng) with
+                            # self.state by reference and the step DONATES
+                            # its carry, so inside this loop self.state
+                            # points at deleted buffers. Restore it from
+                            # the last valid sstate on ANY exit (incl.
+                            # OOM/KeyboardInterrupt). If the failure hit
+                            # mid-dispatch (sstate itself already
+                            # donated), recovery is impossible — warn
+                            # instead of exposing dead arrays silently.
+                            try:
+                                self.state = unstack_train_state(
+                                    self.model, sstate
+                                )
+                            except Exception:  # pragma: no cover - device
+                                log.warning(
+                                    "Stacked dispatch interrupted "
+                                    "mid-step: trainer state buffers were "
+                                    "donated and cannot be recovered; "
+                                    "restore from a checkpoint before "
+                                    "reusing this Trainer."
+                                )
                     else:
                         if self._train_step_unrolled is None:
                             from .train_step import make_train_step_unrolled
