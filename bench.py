@@ -295,24 +295,7 @@ def main(fused=None, grad_kernel=None):
     # default never changes without a same-session TPU measurement
     # recorded in BASELINE.md.
 
-    feat_dict = create_criteo_features(num_buckets=NUM_BUCKETS)
-    model = XDeepFM(
-        feat_dict,
-        {
-            "embedding_size": 16,
-            "cin_cross_layer_units": (100, 100),
-            "cin_dropout": (1, 1, 1),
-            "deep_hidden_units": (400, 400),
-            "deep_dropout": (1.0, 1.0, 1.0),
-        },
-    )
-    from recman_tpu.training.train_step import pack_dataset
-
-    data = synthetic_criteo_arrays(N_ROWS, num_buckets=NUM_BUCKETS, seed=2019)
-    data, layout = pack_dataset(data)
-    data = {k: jnp.asarray(v) for k, v in data.items()}
-
-    optimizer = create_optimizer("adam", 1e-3)
+    model, data, layout, optimizer = build_bench_setup()
     if fused:
         from recman_tpu.training.fused_adam import FusedAdamTrainer
 
@@ -494,4 +477,11 @@ def main(fused=None, grad_kernel=None):
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--check" in _sys.argv:
+        # the TPU-path numerics gate (VERDICT r4 item 3); --no-ml skips
+        # the forced-CPU ML-100K anchor subprocess (~4 min)
+        run_check(ml_anchor="--no-ml" not in _sys.argv)
+    else:
+        main()

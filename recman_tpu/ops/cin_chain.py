@@ -58,10 +58,12 @@ import jax.numpy as jnp
 
 from .cin_interact import _pack_dims, _pack_w, _unpack_w
 
-# B*D tile widths (lane columns per grid step). Conservative: the backward
-# holds W+dW for every layer plus two fmap scratches; Mosaic's scoped-VMEM
-# accounting runs 2-3x a naive byte count.
-CHAIN_TILE_FWD = 2048
+# B*D tile widths (lane columns per grid step). Conservative: both kernels
+# hold a (x_pad_max, t) bf16 z scratch plus W+fmap scratches (the backward
+# adds dW accumulators); Mosaic's scoped-VMEM accounting runs 2-3x a naive
+# byte count. At the bench geometry (x_pad_max=1664) t=1024 puts the
+# naive forward set at ~6 MB and the backward at ~8 MB.
+CHAIN_TILE_FWD = 1024
 CHAIN_TILE_BWD = 1024
 
 _SUPPORTED_ACTS = ("identity", "relu", "leaky_relu")
@@ -140,34 +142,41 @@ def _load_xkp_rows(src_ref, hk, hkp, t):
     return xk
 
 
-def _pre_via_groups(x0_ref, xkp_bf, w_ref, cfg, t):
-    """pre = W_pad^T @ z accumulated per 128-row group; z rebuilt on the
-    VPU per group (never materialized). Returns (o, t) f32."""
+def _fill_z(z_ref, x0_ref, xkp_bf, cfg):
+    """Write layer cfg's z rows (bf16) into the shared VMEM scratch,
+    group by group (full-lane VPU broadcast multiplies, exactly the
+    per-layer forward kernel's structure). The one big MXU contraction
+    over the materialized z is ~2x faster than accumulating per-group
+    K=128 dots (measured in-step: 1.018 -> 0.58 ms forward)."""
     import jax.experimental.pallas as pl
 
     p, hkp = cfg.p, cfg.hkp
-
-    def body(grp, acc):
+    for grp in range(cfg.g):
         parts = []
         for j in range(p):
             x0_row = x0_ref[pl.ds(grp * p + j, 1), :].astype(jnp.bfloat16)
             parts.append(x0_row * xkp_bf)
-        z_g = parts[0] if p == 1 else jnp.concatenate(parts, axis=0)
-        w_g = w_ref[pl.ds(grp * 128, 128), :].astype(jnp.bfloat16)
-        return acc + jax.lax.dot_general(
-            w_g, z_g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        z_ref[grp * 128 : (grp + 1) * 128, :] = (
+            parts[0] if p == 1 else jnp.concatenate(parts, axis=0)
         )
 
-    return jax.lax.fori_loop(
-        0, cfg.g, body, jnp.zeros((cfg.o, t), dtype=jnp.float32)
+
+def _layer_pre(z_ref, w_ref, cfg):
+    """pre = W_pad^T @ z, one MXU dot over the scratch z. (o, t) f32."""
+    import jax.experimental.pallas as pl
+
+    z = z_ref[pl.ds(0, cfg.x_pad), :]
+    return jax.lax.dot_general(
+        w_ref[:].astype(jnp.bfloat16), z, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
 def _recompute_fmaps(cfgs, act, t, x0_ref, w_refs, b_refs, fmap_refs,
-                     xkp_refs):
-    """Forward recompute into VMEM scratches: fmap_refs[i] (o_i, t) and
-    xkp_refs[i] (hkp_i, t) — the zero-padded xk each layer consumed."""
+                     xkp_refs, z_ref):
+    """Forward recompute into VMEM scratches: fmap_refs[i] (o_i, t),
+    xkp_refs[i] (hkp_i, t) — the zero-padded xk each layer consumed —
+    and z_ref left holding the LAST layer's z rows."""
     for i, cfg in enumerate(cfgs):
         if i == 0:
             xkp_refs[0][:] = _load_xkp_rows(x0_ref, cfg.hk, cfg.hkp, t)
@@ -175,10 +184,9 @@ def _recompute_fmaps(cfgs, act, t, x0_ref, w_refs, b_refs, fmap_refs,
             xkp_refs[i][:] = _load_xkp_rows(
                 fmap_refs[i - 1], cfg.hk, cfg.hkp, t
             )
-        pre = _pre_via_groups(
-            x0_ref, xkp_refs[i][:].astype(jnp.bfloat16), w_refs[i], cfg, t
-        )
-        fmap_refs[i][:] = _act(act, pre + b_refs[i][:])
+        _fill_z(z_ref, x0_ref, xkp_refs[i][:].astype(jnp.bfloat16), cfg)
+        fmap_refs[i][:] = _act(act, _layer_pre(z_ref, w_ref=w_refs[i],
+                                               cfg=cfg) + b_refs[i][:])
 
 
 def _chain_fwd_kernel(cfgs, act, d, t, x0_ref, *refs):
@@ -188,11 +196,12 @@ def _chain_fwd_kernel(cfgs, act, d, t, x0_ref, *refs):
     out_refs = refs[2 * n : 3 * n]
     fmap_refs = refs[3 * n : 4 * n]
     xkp_refs = refs[4 * n : 5 * n]
+    z_ref = refs[5 * n]
 
     import jax.experimental.pallas as pl  # noqa: F401  (parity w/ bwd)
 
     _recompute_fmaps(cfgs, act, t, x0_ref, w_refs, b_refs, fmap_refs,
-                     xkp_refs)
+                     xkp_refs, z_ref)
     pm = _poolmat(t, d)
     for i, cfg in enumerate(cfgs):
         import jax.experimental.pallas as pl
@@ -214,12 +223,13 @@ def _chain_bwd_kernel(cfgs, act, d, t, x0_ref, *refs):
     n = len(cfgs)
     w_refs = refs[:n]
     b_refs = refs[n : 2 * n]
-    g_refs = refs[2 * n : 3 * n]          # dpooled, (F_i, t/d)
+    g_refs = refs[2 * n : 3 * n]          # dpooled, batch-major (t/d, F_i)
     dx0_ref = refs[3 * n]
     dw_refs = refs[3 * n + 1 : 4 * n + 1]
     db_refs = refs[4 * n + 1 : 5 * n + 1]
     fmap_refs = refs[5 * n + 1 : 6 * n + 1]
     xkp_refs = refs[6 * n + 1 : 7 * n + 1]
+    z_ref = refs[7 * n + 1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -228,7 +238,9 @@ def _chain_bwd_kernel(cfgs, act, d, t, x0_ref, *refs):
             db_refs[i][:] = jnp.zeros_like(db_refs[i])
 
     _recompute_fmaps(cfgs, act, t, x0_ref, w_refs, b_refs, fmap_refs,
-                     xkp_refs)
+                     xkp_refs, z_ref)
+    # z_ref now holds the LAST layer's z — the first layer the reversed
+    # loop below processes, so the first dW big-dot reads it as-is
 
     dx0_ref[:] = jnp.zeros_like(dx0_ref)
     pm = _poolmat(t, d)
@@ -255,16 +267,26 @@ def _chain_bwd_kernel(cfgs, act, d, t, x0_ref, *refs):
         gpre_bf = gpre.astype(jnp.bfloat16)
 
         xkp = xkp_refs[i][:]
-        xkp_bf = xkp.astype(jnp.bfloat16)
+
+        # dW = z @ gpre^T as ONE big MXU dot over the scratch z (K = t);
+        # the recompute left z holding the last layer's rows, earlier
+        # layers rebuild theirs (cheap VPU broadcasts — the same work
+        # the old per-group rebuild did, minus the per-group dot setup)
+        if i != len(cfgs) - 1:
+            _fill_z(z_ref, x0_ref, xkp.astype(jnp.bfloat16), cfg)
+        dw_refs[i][:] += jax.lax.dot_general(
+            z_ref[pl.ds(0, cfg.x_pad), :], gpre_bf,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
         def body(grp, dxk_acc, cfg=cfg, gpre_bf=gpre_bf, xkp=xkp,
-                 xkp_bf=xkp_bf, w_ref=w_refs[i], dw_ref=dw_refs[i]):
+                 w_ref=w_refs[i]):
             w_g = w_ref[pl.ds(grp * 128, 128), :].astype(jnp.bfloat16)
             u_g = jax.lax.dot_general(
                 w_g, gpre_bf, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (128, t) z-cotangent rows
-            z_parts = []
             for j in range(cfg.p):
                 h = grp * cfg.p + j
                 u_h = u_g[j * cfg.hkp : (j + 1) * cfg.hkp, :]
@@ -273,14 +295,6 @@ def _chain_bwd_kernel(cfgs, act, d, t, x0_ref, *refs):
                 )
                 x0_row = x0_ref[pl.ds(h, 1), :]
                 dxk_acc = dxk_acc + u_h * x0_row
-                z_parts.append(x0_row.astype(jnp.bfloat16) * xkp_bf)
-            z_g = z_parts[0] if cfg.p == 1 else jnp.concatenate(
-                z_parts, axis=0
-            )
-            dw_ref[pl.ds(grp * 128, 128), :] += jax.lax.dot_general(
-                z_g, gpre_bf, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
             return dxk_acc
 
         dxk_acc = jax.lax.fori_loop(
@@ -367,6 +381,7 @@ def _chain_fwd_pallas(x0c, ws, bs, units, d, act, interpret):
     scratch = (
         [pltpu.VMEM((c.o, t), jnp.float32) for c in cfgs]
         + [pltpu.VMEM((c.hkp, t), jnp.float32) for c in cfgs]
+        + [pltpu.VMEM((max(c.x_pad for c in cfgs), t), jnp.bfloat16)]
     )
     out = pl.pallas_call(
         functools.partial(_chain_fwd_kernel, cfgs, act, d, t),
@@ -422,6 +437,7 @@ def _chain_bwd_pallas(x0c, ws, bs, gs, units, d, act, interpret):
     scratch = (
         [pltpu.VMEM((c.o, t), jnp.float32) for c in cfgs]
         + [pltpu.VMEM((c.hkp, t), jnp.float32) for c in cfgs]
+        + [pltpu.VMEM((max(c.x_pad for c in cfgs), t), jnp.bfloat16)]
     )
     outs = pl.pallas_call(
         functools.partial(_chain_bwd_kernel, cfgs, act, d, t),

@@ -286,7 +286,8 @@ class ShardedTrainer(Trainer):
                  random_seed=2019, eval_in_training_mode=False, mesh=None,
                  row_shard_threshold=50_000, tp_dense_threshold=None,
                  dataset_sharded=False, embedding_exchange="psum",
-                 dedup_capacity=None, multihost_feed=None):
+                 dedup_capacity=None, multihost_feed=None, spmd="auto",
+                 steps_per_dispatch=1):
         self.mesh = mesh if mesh is not None else make_mesh()
         data_n = self.mesh.shape[DATA_AXIS]
         assert batch_size % data_n == 0, (
@@ -324,8 +325,10 @@ class ShardedTrainer(Trainer):
         self.eval_in_training_mode = eval_in_training_mode
         self.epoch_in_one_dispatch = False  # see Trainer.fit: scan carry
         # copies make it slower on TPU; opt in by setting the attribute
-        self.steps_per_dispatch = 1  # grouped dispatch is a single-shard
+        self.steps_per_dispatch = 1  # raised below under explicit-DP SPMD
         self._train_step_unrolled = None  # optimization (Trainer.fit)
+        self._train_step_stacked = None
+        self.stacked_tables = "off"  # flipped to "auto" under explicit-DP
 
         from ..config import BaseHyperParameters
 
@@ -369,6 +372,57 @@ class ShardedTrainer(Trainer):
             row_shard_threshold=row_shard_threshold,
             dedup_capacity=cap_getter,
         )
+
+        # -- explicit-DP SPMD (parallel/train_explicit.py) ----------------
+        # On pure-DP meshes the GSPMD steps above gate off every fused
+        # single-chip kernel (fused_grad(False) — the partitioner cannot
+        # split them); the explicit shard_map step runs the full
+        # single-chip hot path per shard instead. "auto" takes it
+        # whenever it is semantically eligible; spmd="gspmd" opts out.
+        from .train_explicit import (
+            explicit_dp_supported,
+            make_dp_eval_scan_explicit,
+            make_dp_train_step_explicit,
+        )
+
+        assert spmd in ("auto", "explicit_dp", "gspmd"), spmd
+        eligible = (
+            not dataset_sharded
+            and not multihost_feed
+            and explicit_dp_supported(model, self.mesh, embedding_exchange)
+        )
+        if spmd == "explicit_dp":
+            assert eligible, (
+                "spmd='explicit_dp' needs a pure-DP mesh (model axis 1), "
+                "embedding_exchange='psum', a replicated dataset and a "
+                "base-Model loss"
+            )
+        self._explicit_dp = eligible and spmd in ("auto", "explicit_dp")
+        if self._explicit_dp:
+            _step1 = make_dp_train_step_explicit(
+                model, self.optimizer, self.mesh, unroll=1
+            )
+
+            def _one_step(state, data, idx, layout=()):
+                state, losses = _step1(state, data, idx[None], layout)
+                return state, losses[0]
+
+            self._train_step = _one_step
+            self._eval_scan = make_dp_eval_scan_explicit(model, self.mesh)
+            self.steps_per_dispatch = int(steps_per_dispatch)
+            self.stacked_tables = "auto"
+            if self.steps_per_dispatch > 1:
+                u = self.steps_per_dispatch
+                self._train_step_unrolled = make_dp_train_step_explicit(
+                    model, self.optimizer, self.mesh, unroll=u
+                )
+                packed = getattr(model, "packed", None)
+                names = packed.stackable() if packed is not None else None
+                if names:
+                    self._train_step_stacked = make_dp_train_step_explicit(
+                        model, self.optimizer, self.mesh, unroll=u,
+                        stacked_names=names,
+                    )
         self.state = shard_init_state(
             model, self.optimizer, jax.random.PRNGKey(random_seed), self.mesh,
             row_shard_threshold, tp_dense_threshold,
@@ -379,8 +433,9 @@ class ShardedTrainer(Trainer):
             if s != P()
         )
         log.info(
-            "ShardedTrainer on %s; %d/%d params row-sharded",
+            "ShardedTrainer on %s; %d/%d params row-sharded; spmd=%s",
             self.mesh, n_sharded, len(self.state.params),
+            "explicit_dp" if self._explicit_dp else "gspmd",
         )
 
     # -- dedup-exchange capacity guard --------------------------------------

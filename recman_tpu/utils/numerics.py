@@ -11,14 +11,26 @@ def l2_loss(x) -> jnp.ndarray:
     return 0.5 * jnp.sum(jnp.square(x))
 
 
+def bce_per_example(y_true, y_pred, eps=1e-7) -> jnp.ndarray:
+    """Per-example BCE over probabilities (keras epsilon clipping). The
+    explicit SPMD step (parallel/train_explicit.py) sums these locally and
+    psums across data shards; binary_cross_entropy is the weighted mean."""
+    p = jnp.clip(y_pred, eps, 1.0 - eps)
+    return -(y_true * jnp.log(p) + (1.0 - y_true) * jnp.log(1.0 - p))
+
+
+def mse_per_example(y_true, y_pred) -> jnp.ndarray:
+    """Per-example squared error (see bce_per_example)."""
+    return jnp.square(y_true - y_pred)
+
+
 def binary_cross_entropy(y_true, y_pred, weights=None, eps=1e-7) -> jnp.ndarray:
     """Mean BCE over probabilities (reference utils.py:192-194 via
     tf.losses.binary_crossentropy, which clips by keras epsilon 1e-7).
 
     ``weights`` masks padded examples in fixed-shape batches: weighted mean.
     """
-    p = jnp.clip(y_pred, eps, 1.0 - eps)
-    per_ex = -(y_true * jnp.log(p) + (1.0 - y_true) * jnp.log(1.0 - p))
+    per_ex = bce_per_example(y_true, y_pred, eps)
     if weights is None:
         return jnp.mean(per_ex)
     return jnp.sum(per_ex * weights) / jnp.maximum(jnp.sum(weights), 1.0)
@@ -26,7 +38,7 @@ def binary_cross_entropy(y_true, y_pred, weights=None, eps=1e-7) -> jnp.ndarray:
 
 def mean_squared_error(y_true, y_pred, weights=None) -> jnp.ndarray:
     """Regression loss (reference utils.py:195-196)."""
-    per_ex = jnp.square(y_true - y_pred)
+    per_ex = mse_per_example(y_true, y_pred)
     if weights is None:
         return jnp.mean(per_ex)
     return jnp.sum(per_ex * weights) / jnp.maximum(jnp.sum(weights), 1.0)

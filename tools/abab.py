@@ -11,6 +11,12 @@ default configuration plus zero or more modifiers, joined with '+':
     scatter         sorted-hint scatter embedding backward
     uN              N-step dispatch unroll (default 16)
     bN              batch size N (default 8192)
+    dp              the explicit shard_map DP step on a 1-device mesh
+                    (parallel/train_explicit.py — fused kernels active
+                    per shard; composes with pertable/nochain/uN)
+    gspmd           today's GSPMD sharded step on a 1-device mesh
+                    (fused_grad(False) — quantifies the gating tax;
+                    forces unroll=1: that path has no unrolled form)
 
 Examples:
     python tools/abab.py --variants base,base+nochain       # chain ABAB
@@ -55,7 +61,7 @@ def build_variant(name: str, model, optimizer, default_unroll: int):
         m for m in name.split("+") if m != "base"
     ]
     unroll, batch = default_unroll, None
-    stacked, chain, kernel = True, "auto", "auto"
+    stacked, chain, kernel, mode = True, "auto", "auto", "local"
     for m in mods:
         if m == "nochain":
             chain = "off"
@@ -65,6 +71,10 @@ def build_variant(name: str, model, optimizer, default_unroll: int):
             stacked = False
         elif m == "scatter":
             kernel = "scatter"
+        elif m == "dp":
+            mode = "dp"
+        elif m == "gspmd":
+            mode, unroll = "gspmd", 1
         elif m.startswith("u") and m[1:].isdigit():
             unroll = int(m[1:])
         elif m.startswith("b") and m[1:].isdigit():
@@ -81,7 +91,44 @@ def build_variant(name: str, model, optimizer, default_unroll: int):
         cin_mod.CIN_CHAIN_MODE = prev_chain
         ctx.__exit__(None, None, None)
 
+    if mode == "gspmd":
+        # today's GSPMD sharded step on a 1-device mesh: quantifies the
+        # fused_grad(False) gating tax of the partitioned path
+        from recman_tpu.parallel import make_mesh, make_sharded_train_step
+        from recman_tpu.parallel.train_pjit import shard_init_state
+
+        mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        state = shard_init_state(model, optimizer, jax.random.PRNGKey(0),
+                                 mesh)
+        step1 = make_sharded_train_step(model, optimizer, mesh)
+
+        def step(state, data, idx_mat, layout=()):
+            state, loss = step1(state, data, idx_mat[0], layout)
+            return state, loss[None]
+
+        return step, state, 1, batch, restore
+
     state = init_state(model, optimizer, jax.random.PRNGKey(0))
+    if mode == "dp":
+        # the explicit shard_map DP step on a 1-device mesh — the
+        # fused-kernel SPMD path (stacked composes via stacked_names)
+        from recman_tpu.parallel import make_mesh
+        from recman_tpu.parallel.train_explicit import (
+            make_dp_train_step_explicit,
+        )
+
+        mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        snames = None
+        if stacked:
+            params_s, snames = stack_table_params(model, state.params)
+            state = TrainState(
+                params_s, optimizer.init(params_s), state.step, state.rng
+            )
+        step = make_dp_train_step_explicit(
+            model, optimizer, mesh, unroll, stacked_names=snames
+        )
+        return step, state, unroll, batch, restore
+
     if stacked:
         res = stack_table_params(model, state.params)
         params_s, snames = res
