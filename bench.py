@@ -261,7 +261,7 @@ def run_check(check_steps=32, unroll=8, ml_anchor=True):
         sys.exit(1)
 
 
-def main(fused=None, grad_kernel=None):
+def main(grad_kernel=None):
     import sys
 
     import jax
@@ -280,162 +280,128 @@ def main(fused=None, grad_kernel=None):
         grad_kernel = ("scatter" if "--scatter" in sys.argv
                        else "segmat" if "--segmat" in sys.argv
                        else "auto")
-    if fused is None:
-        # --fused benches the fused backward+Adam hot loop
-        # (training/fused_adam.py). NOT the default: measured 237.6k vs
-        # 537.2k ex/s on this config — the segment-Adam kernel's
-        # mask-matmul work scales with V*chunk_n and the 17-lane packed
-        # width wastes VPU lanes (NOTES.md round-2 leads has the
-        # analysis); it wins only at larger k / denser id streams
-        fused = "--fused" in sys.argv
-    # the DEFAULT hot loop is the standard step — measured 545.2k ex/s on
-    # TPU v5e 2026-08-19. The persistent packed-storage trainer was
-    # measured at 244.8k (profiled: (V,17) storage is lane-layout-hostile)
-    # and DELETED — postmortem in NOTES.md. Process rule (VERDICT r1): the
-    # default never changes without a same-session TPU measurement
-    # recorded in BASELINE.md.
-
+    # the hot loop is the standard step. The fused backward+Adam trainer
+    # was a frozen opt-in since round 4 and was DELETED in round 6 after
+    # its k>=96 hypothesis measured a 38% LOSS (tools/bench_k96.py:
+    # 78.7k vs 126.5k ex/s at k=96, b=4096 — NOTES.md has the decision).
+    # The persistent packed-storage trainer was likewise measured and
+    # deleted in round 2. Process rule (VERDICT r1): the default never
+    # changes without a same-session TPU measurement in BASELINE.md.
     model, data, layout, optimizer = build_bench_setup()
-    if fused:
-        from recman_tpu.training.fused_adam import FusedAdamTrainer
+    from recman_tpu.training.train_step import (
+        TrainState,
+        make_train_step_stacked,
+        make_train_step_unrolled,
+        stack_table_params,
+    )
 
-        trainer = FusedAdamTrainer(
-            model, {"learning_rate": 1e-3}, batch_size=BATCH_SIZE
+    state = init_state(model, optimizer, jax.random.PRNGKey(0))
+    # UNROLL consecutive steps per dispatch: bit-identical to the
+    # per-step loop (tests/test_training.py parity) and amortizes the
+    # ~0.76 ms/step per-dispatch host latency of this machine's
+    # tunnel (BASELINE.md dispatch study). An UNROLLED chain aliases
+    # the donated carry; a lax.scan-of-steps epoch instead COPIES the
+    # ~550 MB carry per iteration (measured 2x slower — NOTES.md dead
+    # ends). 8 was noise at 12.2 ms steps but wins 4/4 ABAB rounds at
+    # the round-4-final ~10.6 ms step (777.0k vs 770.6k median,
+    # tools/bench_r4b.py --variants A,A8 2026-08-21): the dispatch
+    # tail grew proportionally as the step shrank.
+    # 16 wins 4/4 ABAB at the stacked step's ~9.1-9.3 ms
+    # (tools/bench_r5a.py S2u16 vs S2u8 2026-08-21: 900.9k vs 882.6k
+    # median, +2.1% — the dispatch tail keeps growing proportionally
+    # as the step shrinks; 8 beat 4 at round-4's ~10.6 ms step).
+    UNROLL = 16
+    # DEFAULT: stacked (T, V, k) table storage — the 26 same-shape
+    # tables live as ONE leaf, so the Adam sweep is one fusion
+    # instead of 26 (~35 us fixed overhead each) and the batched
+    # segmat grad flows to it unsplit. ABAB 2026-08-21
+    # (tools/bench_r5a.py, 4/4 rounds): 864.0k vs 809.6k ex/s median
+    # (9.49 vs 10.11 ms/step, +6.7%); losses bit-match the per-table
+    # loop (tests/test_stacked.py CPU exactness + equal TPU loss
+    # traces). --per-table opts back into per-table leaves.
+    names = None if "--per-table" in sys.argv else (
+        model.packed.stackable()
+    )
+    if names:
+        params_s, names = stack_table_params(model, state.params)
+        state = TrainState(
+            params_s, optimizer.init(params_s), state.step, state.rng
         )
-        fstate = trainer._fstate
-
-        def step(state, data, idx, layout):
-            return trainer._fused_step(state, data, idx, layout)
-
-        state = fstate
+        step_u = make_train_step_stacked(model, optimizer, UNROLL, names)
     else:
-        from recman_tpu.training.train_step import (
-            TrainState,
-            make_train_step_stacked,
-            make_train_step_unrolled,
-            stack_table_params,
-        )
-
-        state = init_state(model, optimizer, jax.random.PRNGKey(0))
-        # UNROLL consecutive steps per dispatch: bit-identical to the
-        # per-step loop (tests/test_training.py parity) and amortizes the
-        # ~0.76 ms/step per-dispatch host latency of this machine's
-        # tunnel (BASELINE.md dispatch study). An UNROLLED chain aliases
-        # the donated carry; a lax.scan-of-steps epoch instead COPIES the
-        # ~550 MB carry per iteration (measured 2x slower — NOTES.md dead
-        # ends). 8 was noise at 12.2 ms steps but wins 4/4 ABAB rounds at
-        # the round-4-final ~10.6 ms step (777.0k vs 770.6k median,
-        # tools/bench_r4b.py --variants A,A8 2026-08-21): the dispatch
-        # tail grew proportionally as the step shrank.
-        # 16 wins 4/4 ABAB at the stacked step's ~9.1-9.3 ms
-        # (tools/bench_r5a.py S2u16 vs S2u8 2026-08-21: 900.9k vs 882.6k
-        # median, +2.1% — the dispatch tail keeps growing proportionally
-        # as the step shrinks; 8 beat 4 at round-4's ~10.6 ms step).
-        UNROLL = 16
-        # DEFAULT: stacked (T, V, k) table storage — the 26 same-shape
-        # tables live as ONE leaf, so the Adam sweep is one fusion
-        # instead of 26 (~35 us fixed overhead each) and the batched
-        # segmat grad flows to it unsplit. ABAB 2026-08-21
-        # (tools/bench_r5a.py, 4/4 rounds): 864.0k vs 809.6k ex/s median
-        # (9.49 vs 10.11 ms/step, +6.7%); losses bit-match the per-table
-        # loop (tests/test_stacked.py CPU exactness + equal TPU loss
-        # traces). --per-table opts back into per-table leaves.
-        names = None if "--per-table" in sys.argv else (
-            model.packed.stackable()
-        )
-        if names:
-            params_s, names = stack_table_params(model, state.params)
-            state = TrainState(
-                params_s, optimizer.init(params_s), state.step, state.rng
-            )
-            step_u = make_train_step_stacked(model, optimizer, UNROLL, names)
-        else:
-            step_u = make_train_step_unrolled(model, optimizer, UNROLL)
+        step_u = make_train_step_unrolled(model, optimizer, UNROLL)
 
     idx_mat = batch_indices(N_ROWS, BATCH_SIZE, shuffle_seed=0)
     idx_mat = idx_mat[(idx_mat >= 0).all(axis=1)]  # full batches only
     idx = [jnp.asarray(row) for row in idx_mat]
 
-    if fused:
-        for i in range(WARMUP_STEPS):
-            state, loss = step(state, data, idx[i % len(idx)], layout)
-        float(loss)  # device->host transfer: a real sync
-        # (block_until_ready is a no-op on the tunneled axon platform)
-        t0 = time.perf_counter()
-        for i in range(MEASURE_STEPS):
-            state, loss = step(state, data, idx[i % len(idx)], layout)
-        float(loss)
-        elapsed = time.perf_counter() - t0
-        measured_steps = MEASURE_STEPS
-        hist_examples_per_sec = None
-    else:
-        from recman_tpu.ops import embedding as emb_ops
+    from recman_tpu.ops import embedding as emb_ops
 
-        # the dataset holds N_ROWS/BATCH_SIZE = 8 distinct full batches;
-        # tile them cyclically so every pack carries UNROLL index rows
-        # even when UNROLL exceeds the batch count
-        reps = -(-2 * UNROLL // len(idx_mat)) + 1
-        pool = np.concatenate([idx_mat] * reps)
-        # stagger pack i by i rows over the tiled pool so consecutive
-        # dispatches start at different batch offsets (i*UNROLL %
-        # len(idx_mat) degenerates to a single repeated pack whenever
-        # UNROLL is a multiple of the batch count — round-4 advisor)
-        packs = [
-            jnp.asarray(pool[i % len(idx_mat):][:UNROLL])
-            for i in range(len(idx_mat))
-        ]
-        # the grad_kernel context is consulted at TRACE time (first call)
-        with emb_ops.grad_kernel(grad_kernel):
-            for i in range(max(WARMUP_STEPS // UNROLL, 2)):
-                try:
-                    state, losses = step_u(
-                        state, data, packs[i % len(packs)], layout
-                    )
-                except jax.errors.JaxRuntimeError as e:
-                    # this machine's remote-compile tunnel occasionally
-                    # drops the response mid-read on large programs
-                    # ("response body closed before all bytes were
-                    # read", seen once on the unroll-16 compile
-                    # 2026-08-21); one retry re-issues the compile.
-                    # Only the compile-time drop is retriable: it fires
-                    # BEFORE execution, so the donated state buffers are
-                    # still live. Any other runtime error may postdate
-                    # donation — retrying would mask it with a confusing
-                    # "Array has been deleted" (round-4 advisor).
-                    if i != 0 or "response body closed" not in str(e):
-                        raise
-                    state, losses = step_u(
-                        state, data, packs[i % len(packs)], layout
-                    )
-            float(losses[-1])
-            n_dispatch = MEASURE_STEPS // UNROLL
-            t0 = time.perf_counter()
-            for i in range(n_dispatch):
-                state, losses = step_u(state, data, packs[i % len(packs)], layout)
-            float(losses[-1])
-            elapsed = time.perf_counter() - t0
-            measured_steps = n_dispatch * UNROLL
-
-            # SECOND window (VERDICT r4 item 4): the historical official
-            # window synced every 24 steps (30//8 dispatches at unroll 8)
-            # instead of every 96, charging ~1 extra tunnel round trip
-            # per 24-32 steps. Re-measure at the closest
-            # unroll-16-expressible equivalent (2 dispatches = 32 steps
-            # between syncs, median of 3 windows) so the JSON carries
-            # BOTH numbers and cross-round comparisons never silently
-            # mix windows again.
-            hist_rates = []
-            for w in range(3):
-                t0 = time.perf_counter()
-                for i in range(2):
-                    state, losses = step_u(
-                        state, data, packs[(w * 2 + i) % len(packs)], layout
-                    )
-                float(losses[-1])
-                hist_rates.append(
-                    2 * UNROLL * BATCH_SIZE / (time.perf_counter() - t0)
+    # the dataset holds N_ROWS/BATCH_SIZE = 8 distinct full batches;
+    # tile them cyclically so every pack carries UNROLL index rows
+    # even when UNROLL exceeds the batch count
+    reps = -(-2 * UNROLL // len(idx_mat)) + 1
+    pool = np.concatenate([idx_mat] * reps)
+    # stagger pack i by i rows over the tiled pool so consecutive
+    # dispatches start at different batch offsets (i*UNROLL %
+    # len(idx_mat) degenerates to a single repeated pack whenever
+    # UNROLL is a multiple of the batch count — round-4 advisor)
+    packs = [
+        jnp.asarray(pool[i % len(idx_mat):][:UNROLL])
+        for i in range(len(idx_mat))
+    ]
+    # the grad_kernel context is consulted at TRACE time (first call)
+    with emb_ops.grad_kernel(grad_kernel):
+        for i in range(max(WARMUP_STEPS // UNROLL, 2)):
+            try:
+                state, losses = step_u(
+                    state, data, packs[i % len(packs)], layout
                 )
-            hist_examples_per_sec = float(np.median(hist_rates))
+            except jax.errors.JaxRuntimeError as e:
+                # this machine's remote-compile tunnel occasionally
+                # drops the response mid-read on large programs
+                # ("response body closed before all bytes were
+                # read", seen once on the unroll-16 compile
+                # 2026-08-21); one retry re-issues the compile.
+                # Only the compile-time drop is retriable: it fires
+                # BEFORE execution, so the donated state buffers are
+                # still live. Any other runtime error may postdate
+                # donation — retrying would mask it with a confusing
+                # "Array has been deleted" (round-4 advisor).
+                if i != 0 or "response body closed" not in str(e):
+                    raise
+                state, losses = step_u(
+                    state, data, packs[i % len(packs)], layout
+                )
+        float(losses[-1])
+        n_dispatch = max(MEASURE_STEPS // UNROLL, 1)
+        t0 = time.perf_counter()
+        for i in range(n_dispatch):
+            state, losses = step_u(state, data, packs[i % len(packs)], layout)
+        float(losses[-1])
+        elapsed = time.perf_counter() - t0
+        measured_steps = n_dispatch * UNROLL
+
+        # SECOND window (VERDICT r4 item 4): the historical official
+        # window synced every 24 steps (30//8 dispatches at unroll 8)
+        # instead of every 96, charging ~1 extra tunnel round trip
+        # per 24-32 steps. Re-measure at the closest
+        # unroll-16-expressible equivalent (2 dispatches = 32 steps
+        # between syncs, median of 3 windows) so the JSON carries
+        # BOTH numbers and cross-round comparisons never silently
+        # mix windows again.
+        hist_rates = []
+        for w in range(3):
+            t0 = time.perf_counter()
+            for i in range(2):
+                state, losses = step_u(
+                    state, data, packs[(w * 2 + i) % len(packs)], layout
+                )
+            float(losses[-1])
+            hist_rates.append(
+                2 * UNROLL * BATCH_SIZE / (time.perf_counter() - t0)
+            )
+        hist_examples_per_sec = float(np.median(hist_rates))
 
     examples_per_sec = measured_steps * BATCH_SIZE / elapsed
     sec_per_step = elapsed / measured_steps

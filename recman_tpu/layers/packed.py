@@ -98,7 +98,7 @@ class PackedEmbeddingLinear:
         use_bias = emb.use_bias
         w = self._linear_w(params, training, override)
 
-        from ..ops.embedding import QuantTable, _dedup_ctx, _fused_apply_ctx
+        from ..ops.embedding import QuantTable, _dedup_ctx
 
         # under the dedup all-to-all exchange, packed [table|bias|w]
         # temporaries would break the even row sharding the exchange
@@ -106,7 +106,6 @@ class PackedEmbeddingLinear:
         # through the exchange directly. Same for int8 QuantTable params
         # (quantized serving): the packed f32 concat would defeat the
         # gather-then-dequantize path
-        fused = _fused_apply_ctx()
         quant = any(
             isinstance(
                 params.get(f"{emb.prefix}{f.name}_feat_embed"), QuantTable
@@ -126,7 +125,7 @@ class PackedEmbeddingLinear:
             else:
                 ids_mats.append(batch[feat.name])
 
-        sc = _stacked_ctx() if fused is None else None
+        sc = _stacked_ctx()
         if (
             sc is not None
             and not use_bias
@@ -163,23 +162,6 @@ class PackedEmbeddingLinear:
                 rows_list = packed_lookup_stacked(packed_stack, ids_mats)
             if _bf16:
                 rows_list = [r.astype(jnp.float32) for r in rows_list]
-        elif fused is not None:
-            # fused backward+Adam training (training/fused_adam.py): gather
-            # from persistent pre-packed storage (no per-step concat) with
-            # the table detached, and add the zero perturbation whose
-            # cotangent is the per-row gradient stream the fused optimizer
-            # kernel consumes. Plain jnp.take on a stop_gradient operand
-            # emits NO scatter in the backward.
-            import jax
-
-            storage_w, perts = fused
-            rows_list = [
-                jnp.take(
-                    jax.lax.stop_gradient(storage_w[feat.name]), ids, axis=0
-                )
-                + perts[feat.name]
-                for feat, ids in zip(packable, ids_mats)
-            ]
         elif _split_lookup_active():
             # phase 1/2 (split form): gather table rows and vector columns
             # SEPARATELY — no (V, k+m) packed concat ever materializes

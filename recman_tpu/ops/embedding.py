@@ -109,9 +109,9 @@ def _grad_kernel() -> str:
 # was ABAB-measured AND quality-gated (TPU, fused single-shard path):
 # tools/bench_r4g.py 2026-08-21 — 762.8k vs 715.1k ex/s median (+6.7%),
 # 2M-synthetic quality 0.5219/0.8155 vs anchor 0.523/0.8144 (HOLDS).
-# CPU paths (incl. the ML-100K parity gate and the FusedAdamTrainer
-# bit-parity tests) and sharded traces (fused_grad(False)) resolve to
-# OFF, so their trajectories are unchanged. True/False force it.
+# CPU paths (incl. the ML-100K parity gate) and sharded GSPMD traces
+# (fused_grad(False)) resolve to OFF, so their trajectories are
+# unchanged. True/False force it.
 PACKED_FWD_BF16 = "auto"
 
 
@@ -207,30 +207,6 @@ def _dedup_ctx():
     return getattr(_state, "dedup", None)
 
 
-@contextlib.contextmanager
-def fused_apply(storage_w: dict, perts: dict):
-    """Trace the packed embedding+linear lookup against persistent packed
-    [table|bias|w] storage with zero-perturbation capture.
-
-    Installed by the fused backward+Adam train step
-    (training/fused_adam.py) around model.loss: layers/packed.py then
-    gathers rows from ``stop_gradient(storage_w[name])`` and adds
-    ``perts[name]`` (zeros) — the gradient w.r.t. the perturbation IS the
-    per-row cotangent stream, harvested without ever materializing a dense
-    table gradient or scatter. Single-shard only, like the other fused
-    ops; mutually exclusive with dedup_exchange."""
-    assert _dedup_ctx() is None, "fused_apply is incompatible with dedup_exchange"
-    prev = getattr(_state, "fused_apply", None)
-    _state.fused_apply = (storage_w, perts)
-    try:
-        yield
-    finally:
-        _state.fused_apply = prev
-
-
-def _fused_apply_ctx():
-    return getattr(_state, "fused_apply", None)
-
 
 @contextlib.contextmanager
 def stacked_tables(names: tuple, stack):
@@ -315,7 +291,8 @@ def quantize_table_int8(a):
 
 def _adaptive_chunk(n: int, tile_v: int, v_pad: int, cap: int = 512) -> int:
     """Chunk rows per kernel step ≈ 2x the mean rows landing in one vocab
-    tile (the fused-Adam sizing, training/fused_adam.py): the kernel's
+    tile (sized for the segment-matmul kernels; originally derived for
+    the deleted fused-Adam path — git history): the kernel's
     total MXU work is ~N·TILE_V + V·CHUNK, so once CHUNK >> mean rows/tile
     the V·CHUNK term dominates pure overhead."""
     mean_rows = max(1, n * tile_v // max(v_pad, 1))

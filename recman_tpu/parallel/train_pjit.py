@@ -287,7 +287,7 @@ class ShardedTrainer(Trainer):
                  row_shard_threshold=50_000, tp_dense_threshold=None,
                  dataset_sharded=False, embedding_exchange="psum",
                  dedup_capacity=None, multihost_feed=None, spmd="auto",
-                 steps_per_dispatch=1):
+                 steps_per_dispatch=1, stacked_tables=None):
         self.mesh = mesh if mesh is not None else make_mesh()
         data_n = self.mesh.shape[DATA_AXIS]
         assert batch_size % data_n == 0, (
@@ -410,7 +410,13 @@ class ShardedTrainer(Trainer):
             self._train_step = _one_step
             self._eval_scan = make_dp_eval_scan_explicit(model, self.mesh)
             self.steps_per_dispatch = int(steps_per_dispatch)
-            self.stacked_tables = "auto"
+            # stacked storage inside the explicit dispatch loop follows
+            # the single-chip gate by default ("auto" = TPU fused path);
+            # pass stacked_tables=True/False to force (tests force True
+            # on the CPU mesh)
+            self.stacked_tables = (
+                "auto" if stacked_tables is None else stacked_tables
+            )
             if self.steps_per_dispatch > 1:
                 u = self.steps_per_dispatch
                 self._train_step_unrolled = make_dp_train_step_explicit(

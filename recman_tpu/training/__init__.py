@@ -1,5 +1,4 @@
 from .auc import StreamingAUC
-from .fused_adam import FusedAdamTrainer
 from .lr_schedule import large_batch_schedule, linear_scaled_lr, warmup_schedule
 from .metrics import Gini, LogLoss, RocAucScore
 from .train_step import (
@@ -14,7 +13,6 @@ from .resilient import Preempted, Resilience, TrainingDiverged
 from .trainer import Trainer, batch_indices
 
 __all__ = [
-    "FusedAdamTrainer",
     "Preempted",
     "Resilience",
     "TrainingDiverged",

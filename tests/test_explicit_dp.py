@@ -226,6 +226,46 @@ class TestExplicitDP:
             scale = np.abs(b).max() + 1e-6
             assert np.abs(a - b).max() <= 2e-5 * scale, k
 
+    def test_sharded_trainer_auto_takes_explicit_and_fits(self, setup):
+        """ShardedTrainer(spmd='auto') on a pure-DP mesh routes to the
+        explicit step (incl. the steps_per_dispatch>1 stacked dispatch
+        loop) and its fit trajectory tracks the unsharded Trainer."""
+        from recman_tpu.parallel import ShardedTrainer
+        from recman_tpu.training import Trainer
+        from recman_tpu.data import create_criteo_features, synthetic_criteo_arrays
+
+        fs = create_criteo_features(num_buckets=512)
+        hp = {
+            "embedding_size": 8,
+            "cin_cross_layer_units": (8, 6),
+            "cin_dropout": (1, 1, 1),
+            "deep_hidden_units": (16, 16),
+            "deep_dropout": (1.0, 1.0, 1.0),
+        }
+        from recman_tpu.models import XDeepFM
+
+        raw = synthetic_criteo_arrays(256, num_buckets=512, seed=9)
+        y = np.asarray(raw["y"])
+
+        t_ref = Trainer(XDeepFM(fs, hp), epoch=1, batch_size=64,
+                        random_seed=7)
+        t_ref.fit(dict(raw), y, random_seed_for_mini_batch=False)
+
+        mesh = make_mesh(data=8, model=1)
+        t_dp = ShardedTrainer(XDeepFM(fs, hp), epoch=1, batch_size=64,
+                              random_seed=7, mesh=mesh,
+                              steps_per_dispatch=2, stacked_tables=True)
+        assert t_dp._explicit_dp
+        assert t_dp._train_step_stacked is not None
+        t_dp.fit(dict(raw), y, random_seed_for_mini_batch=False)
+        assert abs(t_dp.last_mean_loss - t_ref.last_mean_loss) < 5e-4, (
+            t_dp.last_mean_loss, t_ref.last_mean_loss,
+        )
+        # eval path (explicit eval scan) agrees with the unsharded one
+        p_ref = t_ref.predict(dict(raw))
+        p_dp = t_dp.predict(dict(raw))
+        np.testing.assert_allclose(p_dp, p_ref, rtol=5e-3, atol=5e-4)
+
     def test_supported_gate(self, setup):
         model, *_ = setup
         mesh81 = make_mesh(data=8, model=1)

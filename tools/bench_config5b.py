@@ -39,6 +39,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", default=None)
+    ap.add_argument("--b128k", action="store_true",
+                    help="add the batch-131,072 fresh-data configs "
+                    "(VERDICT r4 item 5: does sqrt LR scaling hold at "
+                    "128k?); grows the generated dataset to ~30.5M rows")
     args = ap.parse_args()
     out_f = open(args.out, "a") if args.out else None
 
@@ -53,10 +57,11 @@ def main():
 
     feat_dict = create_criteo_features(num_buckets=100_000)
     rows_big = STEPS * BATCH  # 15.1M fresh training rows
-    total = rows_big + VALID_ROWS
+    rows_128k = STEPS * 131_072  # 30.3M
+    total = (rows_128k if args.b128k else rows_big) + VALID_ROWS
     print(f"generating {total:,} rows...", flush=True)
     data = synthetic_criteo_arrays(total, num_buckets=100_000, seed=2019)
-    valid = {k: v[rows_big:] for k, v in data.items()}
+    valid = {k: v[total - VALID_ROWS:] for k, v in data.items()}
     y_valid = valid.pop("y")
 
     def sched(peak, warmup, total_steps=STEPS):
@@ -117,6 +122,18 @@ def main():
          lambda: lamb_partitioned(sched(4e-3, 12)), BATCH, small, 8,
          {"deep_dropout": (0.9, 0.9, 0.9), "cin_dropout": (0.9, 0.9, 0.9)}),
     ]
+    if args.b128k:
+        # the 128k row of the envelope (VERDICT r4 item 5): sqrt scaling
+        # from the 8192 anchor gives peak 1e-3*sqrt(16) = 4e-3; linear
+        # gives 1.6e-2 (the 64k sweep's pattern: sqrt > linear > lamb)
+        configs += [
+            ("b128k_adam_sqrt_p4e-3_w12_fresh30M",
+             lambda: create_optimizer("adam", sched(4e-3, 12)), 131_072,
+             rows_128k, 1, None),
+            ("b128k_adam_lin_p1.6e-2_w12_fresh30M",
+             lambda: create_optimizer("adam", sched(1.6e-2, 12)), 131_072,
+             rows_128k, 1, None),
+        ]
     only = [s.strip() for s in args.only.split(",")] if args.only else None
     results = []
     for name, mk, bs, rows, epochs, extra in configs:

@@ -72,7 +72,7 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default=None)
-    ap.add_argument("--path", choices=("std", "per-table", "fused"),
+    ap.add_argument("--path", choices=("std", "per-table"),
                     default="std", help="which hot loop to profile (std = "
                     "the stacked-storage default bench.py ships)")
     ap.add_argument("--batch", type=int, default=None,
@@ -107,14 +107,7 @@ def main():
     data, layout = pack_dataset(data)
     data = {k: jnp.asarray(v) for k, v in data.items()}
     optimizer = create_optimizer("adam", 1e-3)
-    if args.path == "fused":
-        from recman_tpu.training.fused_adam import FusedAdamTrainer
-
-        trainer = FusedAdamTrainer(
-            model, {"learning_rate": 1e-3}, batch_size=bench.BATCH_SIZE
-        )
-        state, step = trainer._fstate, trainer._fused_step
-    elif args.path == "per-table":
+    if args.path == "per-table":
         state = init_state(model, optimizer, jax.random.PRNGKey(0))
         step = make_train_step(model, optimizer)
     else:
