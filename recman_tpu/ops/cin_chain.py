@@ -58,13 +58,16 @@ import jax.numpy as jnp
 
 from .cin_interact import _pack_dims, _pack_w, _unpack_w
 
-# B*D tile widths (lane columns per grid step). Conservative: both kernels
-# hold a (x_pad_max, t) bf16 z scratch plus W+fmap scratches (the backward
-# adds dW accumulators); Mosaic's scoped-VMEM accounting runs 2-3x a naive
-# byte count. At the bench geometry (x_pad_max=1664) t=1024 puts the
-# naive forward set at ~6 MB and the backward at ~8 MB.
+# B*D tile widths (lane columns per grid step). Both kernels hold a
+# (x_pad_max, t) bf16 z scratch plus W+fmap scratches (the backward adds
+# dW accumulators). Tile ABAB at the bench geometry (tools/abab.py
+# base,base+ctb2048,base+ctf2048 2026-08-21, 3/3 rounds): bwd t=2048
+# 935.7k vs 924.9k ex/s (+1.2%, ~16 MB naive scoped set — compiles and
+# wins); fwd t=2048 was noise-to-slightly-negative (921.99k), so the
+# forward stays at 1024. t=4096 would put the bwd z scratch alone at
+# 13.6 MB — over budget, not attempted.
 CHAIN_TILE_FWD = 1024
-CHAIN_TILE_BWD = 1024
+CHAIN_TILE_BWD = 2048
 
 _SUPPORTED_ACTS = ("identity", "relu", "leaky_relu")
 

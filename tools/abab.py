@@ -57,6 +57,13 @@ def build_variant(name: str, model, optimizer, default_unroll: int):
         stack_table_params,
     )
 
+    from recman_tpu.ops import cin_chain
+
+    # chain-tile modifiers mutate module globals read at trace time;
+    # reset to the shipped defaults so variants don't leak into each other
+    cin_chain.CHAIN_TILE_FWD = 1024
+    cin_chain.CHAIN_TILE_BWD = 2048
+
     mods = [] if name == "base" else [
         m for m in name.split("+") if m != "base"
     ]
@@ -75,6 +82,14 @@ def build_variant(name: str, model, optimizer, default_unroll: int):
             mode = "dp"
         elif m == "gspmd":
             mode, unroll = "gspmd", 1
+        elif m.startswith("ctf") and m[3:].isdigit():
+            from recman_tpu.ops import cin_chain
+
+            cin_chain.CHAIN_TILE_FWD = int(m[3:])
+        elif m.startswith("ctb") and m[3:].isdigit():
+            from recman_tpu.ops import cin_chain
+
+            cin_chain.CHAIN_TILE_BWD = int(m[3:])
         elif m.startswith("u") and m[1:].isdigit():
             unroll = int(m[1:])
         elif m.startswith("b") and m[1:].isdigit():
