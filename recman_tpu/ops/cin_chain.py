@@ -69,6 +69,12 @@ from .cin_interact import _pack_dims, _pack_w, _unpack_w
 CHAIN_TILE_FWD = 1024
 CHAIN_TILE_BWD = 2048
 
+# Opt-in variant: the forward WRITES fmaps to HBM and the backward reads
+# them instead of recomputing (trades ~2x 52 MB of HBM traffic at the
+# bench geometry for the recompute's z-fills + layer dots). ABAB decides;
+# the recompute form is the default.
+CHAIN_SAVE_FMAPS = False
+
 _SUPPORTED_ACTS = ("identity", "relu", "leaky_relu")
 
 
@@ -192,7 +198,18 @@ def _recompute_fmaps(cfgs, act, t, x0_ref, w_refs, b_refs, fmap_refs,
                                                cfg=cfg) + b_refs[i][:])
 
 
+def _fill_xkps(cfgs, t, x0_ref, fmap_refs, xkp_refs):
+    """xkp scratches from x0 / saved fmap leading slices (the save-fmaps
+    backward — no recompute)."""
+    for i, cfg in enumerate(cfgs):
+        src = x0_ref if i == 0 else fmap_refs[i - 1]
+        xkp_refs[i][:] = _load_xkp_rows(src, cfg.hk, cfg.hkp, t)
+
+
 def _chain_fwd_kernel(cfgs, act, d, t, x0_ref, *refs):
+    # with CHAIN_SAVE_FMAPS the fmap refs are OUTPUTS (written to HBM
+    # for the backward) instead of scratches — same positions either
+    # way, identical body
     n = len(cfgs)
     w_refs = refs[:n]
     b_refs = refs[n : 2 * n]
@@ -220,19 +237,28 @@ def _chain_fwd_kernel(cfgs, act, d, t, x0_ref, *refs):
         )
 
 
-def _chain_bwd_kernel(cfgs, act, d, t, x0_ref, *refs):
+def _chain_bwd_kernel(cfgs, act, d, t, save, x0_ref, *refs):
     import jax.experimental.pallas as pl
 
     n = len(cfgs)
     w_refs = refs[:n]
     b_refs = refs[n : 2 * n]
     g_refs = refs[2 * n : 3 * n]          # dpooled, batch-major (t/d, F_i)
-    dx0_ref = refs[3 * n]
-    dw_refs = refs[3 * n + 1 : 4 * n + 1]
-    db_refs = refs[4 * n + 1 : 5 * n + 1]
-    fmap_refs = refs[5 * n + 1 : 6 * n + 1]
-    xkp_refs = refs[6 * n + 1 : 7 * n + 1]
-    z_ref = refs[7 * n + 1]
+    if save:
+        # saved fmaps arrive as the last INPUTS; no recompute below
+        fmap_refs = refs[3 * n : 4 * n]
+        dx0_ref = refs[4 * n]
+        dw_refs = refs[4 * n + 1 : 5 * n + 1]
+        db_refs = refs[5 * n + 1 : 6 * n + 1]
+        xkp_refs = refs[6 * n + 1 : 7 * n + 1]
+        z_ref = refs[7 * n + 1]
+    else:
+        dx0_ref = refs[3 * n]
+        dw_refs = refs[3 * n + 1 : 4 * n + 1]
+        db_refs = refs[4 * n + 1 : 5 * n + 1]
+        fmap_refs = refs[5 * n + 1 : 6 * n + 1]
+        xkp_refs = refs[6 * n + 1 : 7 * n + 1]
+        z_ref = refs[7 * n + 1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -240,10 +266,13 @@ def _chain_bwd_kernel(cfgs, act, d, t, x0_ref, *refs):
             dw_refs[i][:] = jnp.zeros_like(dw_refs[i])
             db_refs[i][:] = jnp.zeros_like(db_refs[i])
 
-    _recompute_fmaps(cfgs, act, t, x0_ref, w_refs, b_refs, fmap_refs,
-                     xkp_refs, z_ref)
-    # z_ref now holds the LAST layer's z — the first layer the reversed
-    # loop below processes, so the first dW big-dot reads it as-is
+    if save:
+        _fill_xkps(cfgs, t, x0_ref, fmap_refs, xkp_refs)
+    else:
+        _recompute_fmaps(cfgs, act, t, x0_ref, w_refs, b_refs, fmap_refs,
+                         xkp_refs, z_ref)
+    # without save, z_ref now holds the LAST layer's z — the first layer
+    # the reversed loop below processes, so its dW big-dot reads it as-is
 
     dx0_ref[:] = jnp.zeros_like(dx0_ref)
     pm = _poolmat(t, d)
@@ -275,7 +304,7 @@ def _chain_bwd_kernel(cfgs, act, d, t, x0_ref, *refs):
         # the recompute left z holding the last layer's rows, earlier
         # layers rebuild theirs (cheap VPU broadcasts — the same work
         # the old per-group rebuild did, minus the per-group dot setup)
-        if i != len(cfgs) - 1:
+        if save or i != len(cfgs) - 1:
             _fill_z(z_ref, x0_ref, xkp.astype(jnp.bfloat16), cfg)
         dw_refs[i][:] += jax.lax.dot_general(
             z_ref[pl.ds(0, cfg.x_pad), :], gpre_bf,
@@ -348,7 +377,7 @@ def _pad_x0(x0c, rows):
     return x0c
 
 
-def _chain_fwd_pallas(x0c, ws, bs, units, d, act, interpret):
+def _chain_fwd_pallas(x0c, ws, bs, units, d, act, interpret, save=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -382,10 +411,21 @@ def _chain_fwd_pallas(x0c, ws, bs, units, d, act, interpret):
         jax.ShapeDtypeStruct((bd // d, nd), jnp.float32) for nd in n_direct
     ]
     scratch = (
-        [pltpu.VMEM((c.o, t), jnp.float32) for c in cfgs]
-        + [pltpu.VMEM((c.hkp, t), jnp.float32) for c in cfgs]
+        [pltpu.VMEM((c.hkp, t), jnp.float32) for c in cfgs]
         + [pltpu.VMEM((max(c.x_pad for c in cfgs), t), jnp.bfloat16)]
     )
+    if save:
+        # fmaps become OUTPUTS right after the pooled blocks (the ref
+        # order the kernel sees is identical to the scratch form)
+        out_specs = out_specs + [
+            pl.BlockSpec((c.o, t), lambda i: (0, i),
+                         memory_space=pltpu.VMEM) for c in cfgs
+        ]
+        out_shape = out_shape + [
+            jax.ShapeDtypeStruct((c.o, bd), jnp.float32) for c in cfgs
+        ]
+    else:
+        scratch = [pltpu.VMEM((c.o, t), jnp.float32) for c in cfgs] + scratch
     out = pl.pallas_call(
         functools.partial(_chain_fwd_kernel, cfgs, act, d, t),
         grid=grid,
@@ -399,7 +439,8 @@ def _chain_fwd_pallas(x0c, ws, bs, units, d, act, interpret):
     return tuple(out)
 
 
-def _chain_bwd_pallas(x0c, ws, bs, gs, units, d, act, interpret):
+def _chain_bwd_pallas(x0c, ws, bs, gs, units, d, act, interpret,
+                      fmaps=()):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -410,6 +451,7 @@ def _chain_bwd_pallas(x0c, ws, bs, gs, units, d, act, interpret):
     x0p = _pad_x0(x0c, rows)
     ws_pad = [_pack_w(w, cfg.h0, cfg.hk) for w, cfg in zip(ws, cfgs)]
     bs2 = [b[:, None] for b in bs]
+    save = bool(fmaps)
 
     n = len(cfgs)
     n_direct = [c.o - c.half if not c.final else c.o for c in cfgs]
@@ -423,6 +465,9 @@ def _chain_bwd_pallas(x0c, ws, bs, gs, units, d, act, interpret):
                         memory_space=pltpu.VMEM) for c in cfgs]
         + [pl.BlockSpec((t // d, nd), lambda i: (i, 0),
                         memory_space=pltpu.VMEM) for nd in n_direct]
+        + ([pl.BlockSpec((c.o, t), lambda i: (0, i),
+                         memory_space=pltpu.VMEM) for c in cfgs]
+           if save else [])
     )
     out_specs = (
         [pl.BlockSpec((rows, t), lambda i: (0, i),
@@ -437,20 +482,20 @@ def _chain_bwd_pallas(x0c, ws, bs, gs, units, d, act, interpret):
         + [jax.ShapeDtypeStruct((c.x_pad, c.o), jnp.float32) for c in cfgs]
         + [jax.ShapeDtypeStruct((c.o, 1), jnp.float32) for c in cfgs]
     )
-    scratch = (
-        [pltpu.VMEM((c.o, t), jnp.float32) for c in cfgs]
-        + [pltpu.VMEM((c.hkp, t), jnp.float32) for c in cfgs]
-        + [pltpu.VMEM((max(c.x_pad for c in cfgs), t), jnp.bfloat16)]
-    )
+    scratch = [pltpu.VMEM((c.hkp, t), jnp.float32) for c in cfgs] + [
+        pltpu.VMEM((max(c.x_pad for c in cfgs), t), jnp.bfloat16)
+    ]
+    if not save:
+        scratch = [pltpu.VMEM((c.o, t), jnp.float32) for c in cfgs] + scratch
     outs = pl.pallas_call(
-        functools.partial(_chain_bwd_kernel, cfgs, act, d, t),
+        functools.partial(_chain_bwd_kernel, cfgs, act, d, t, save),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(x0p, *ws_pad, *bs2, *gs)
+    )(x0p, *ws_pad, *bs2, *gs, *fmaps)
     dx0 = outs[0][:h0, :]
     dws = tuple(
         _unpack_w(outs[1 + i], cfgs[i].h0, cfgs[i].hk) for i in range(n)
@@ -459,20 +504,24 @@ def _chain_bwd_pallas(x0c, ws, bs, gs, units, d, act, interpret):
     return dx0, dws, dbs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _chain_fm(x0c, ws, bs, units, d, act, interpret):
-    return _chain_fwd_pallas(x0c, ws, bs, units, d, act, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _chain_fm(x0c, ws, bs, units, d, act, interpret, save):
+    out = _chain_fwd_pallas(x0c, ws, bs, units, d, act, interpret,
+                            save=save)
+    return out[: len(units)]
 
 
-def _chain_fm_fwd(x0c, ws, bs, units, d, act, interpret):
-    out = _chain_fwd_pallas(x0c, ws, bs, units, d, act, interpret)
-    return out, (x0c, ws, bs)
+def _chain_fm_fwd(x0c, ws, bs, units, d, act, interpret, save):
+    out = _chain_fwd_pallas(x0c, ws, bs, units, d, act, interpret,
+                            save=save)
+    n = len(units)
+    return out[:n], (x0c, ws, bs, out[n:])
 
 
-def _chain_fm_bwd(units, d, act, interpret, res, gs):
-    x0c, ws, bs = res
+def _chain_fm_bwd(units, d, act, interpret, save, res, gs):
+    x0c, ws, bs, fmaps = res
     dx0, dws, dbs = _chain_bwd_pallas(
-        x0c, ws, bs, gs, units, d, act, interpret
+        x0c, ws, bs, gs, units, d, act, interpret, fmaps=fmaps
     )
     return dx0, dws, dbs
 
@@ -492,5 +541,6 @@ def cin_chain_fm(x0c, ws, bs, units, d, act="leaky_relu"):
     """
     interpret = jax.default_backend() != "tpu"
     return _chain_fm(
-        x0c, tuple(ws), tuple(bs), tuple(units), d, act, interpret
+        x0c, tuple(ws), tuple(bs), tuple(units), d, act, interpret,
+        bool(CHAIN_SAVE_FMAPS),
     )

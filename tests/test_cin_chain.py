@@ -82,6 +82,33 @@ class TestChainOp:
             rtol=2e-3, atol=2e-3,
         )
 
+    def test_save_fmaps_variant_matches_recompute(self, rng):
+        """CHAIN_SAVE_FMAPS=True (backward reads saved fmaps instead of
+        recomputing) must give the same values and near-identical grads
+        as the recompute default."""
+        from recman_tpu.ops import cin_chain as cc
+
+        cin = _layer((6, 4))
+        params = cin.init(rng)
+        x = _x(B, F, D, seed=29)
+
+        def loss(p):
+            with fused_grad(True), pallas_cin(True):
+                return jnp.sum(cin.apply(p, x, training=False) ** 2)
+
+        v_ref, g_ref = jax.value_and_grad(loss)(params)
+        prev = cc.CHAIN_SAVE_FMAPS
+        cc.CHAIN_SAVE_FMAPS = True
+        try:
+            v_sf, g_sf = jax.value_and_grad(loss)(params)
+        finally:
+            cc.CHAIN_SAVE_FMAPS = prev
+        np.testing.assert_allclose(float(v_sf), float(v_ref), rtol=1e-6)
+        for name in g_ref:
+            a, b = np.asarray(g_sf[name]), np.asarray(g_ref[name])
+            scale = np.abs(b).max() + 1e-6
+            assert np.abs(a - b).max() <= 1e-4 * scale, name
+
     def test_training_mode_with_unit_keeps_matches_eval_routing(self, rng):
         """keeps == 1 everywhere: training=True must still take the chain
         and produce the same output as eval (dropout is a no-op)."""

@@ -63,6 +63,7 @@ def build_variant(name: str, model, optimizer, default_unroll: int):
     # reset to the shipped defaults so variants don't leak into each other
     cin_chain.CHAIN_TILE_FWD = 1024
     cin_chain.CHAIN_TILE_BWD = 2048
+    cin_chain.CHAIN_SAVE_FMAPS = False
 
     mods = [] if name == "base" else [
         m for m in name.split("+") if m != "base"
@@ -82,6 +83,10 @@ def build_variant(name: str, model, optimizer, default_unroll: int):
             mode = "dp"
         elif m == "gspmd":
             mode, unroll = "gspmd", 1
+        elif m == "savefm":
+            from recman_tpu.ops import cin_chain
+
+            cin_chain.CHAIN_SAVE_FMAPS = True
         elif m.startswith("ctf") and m[3:].isdigit():
             from recman_tpu.ops import cin_chain
 
