@@ -69,11 +69,16 @@ from .cin_interact import _pack_dims, _pack_w, _unpack_w
 CHAIN_TILE_FWD = 1024
 CHAIN_TILE_BWD = 2048
 
-# Opt-in variant: the forward WRITES fmaps to HBM and the backward reads
-# them instead of recomputing (trades ~2x 52 MB of HBM traffic at the
-# bench geometry for the recompute's z-fills + layer dots). ABAB decides;
-# the recompute form is the default.
-CHAIN_SAVE_FMAPS = False
+# DEFAULT (ABAB 2026-08-21, tools/abab.py base,base+savefm, 3 clean
+# rounds): the forward WRITES fmaps to HBM and the backward reads them
+# instead of recomputing — 989.0k vs 934.8k ex/s median (+5.8%, 8.28 vs
+# 8.75 ms/step) at the bench geometry. The ~2x 52 MB of extra HBM
+# traffic costs less than the recompute's z-fills + layer dots; the
+# trajectories are identical (the recompute reproduced the same values
+# deterministically). Activation memory returns to O(B*D*O_total) —
+# re-measured fine through batch 131,072; flip False to recover the
+# O(B*D*H0) remat-style footprint for even larger batches.
+CHAIN_SAVE_FMAPS = True
 
 _SUPPORTED_ACTS = ("identity", "relu", "leaky_relu")
 

@@ -63,7 +63,7 @@ def build_variant(name: str, model, optimizer, default_unroll: int):
     # reset to the shipped defaults so variants don't leak into each other
     cin_chain.CHAIN_TILE_FWD = 1024
     cin_chain.CHAIN_TILE_BWD = 2048
-    cin_chain.CHAIN_SAVE_FMAPS = False
+    cin_chain.CHAIN_SAVE_FMAPS = True  # the shipped default (round 6)
 
     mods = [] if name == "base" else [
         m for m in name.split("+") if m != "base"
@@ -87,6 +87,10 @@ def build_variant(name: str, model, optimizer, default_unroll: int):
             from recman_tpu.ops import cin_chain
 
             cin_chain.CHAIN_SAVE_FMAPS = True
+        elif m == "nosavefm":
+            from recman_tpu.ops import cin_chain
+
+            cin_chain.CHAIN_SAVE_FMAPS = False
         elif m.startswith("ctf") and m[3:].isdigit():
             from recman_tpu.ops import cin_chain
 
