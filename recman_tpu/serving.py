@@ -216,9 +216,24 @@ class Predictor:
         kwargs = {}
         if platforms is not None:
             kwargs["platforms"] = tuple(platforms)
-        exported = jax_export.export(jax.jit(serve_fn), **kwargs)(
-            param_specs, batch_specs
+        # Portability gate: the fused Pallas ops (CIN chain/kernels,
+        # fused lookups) lower to TPU-only Mosaic custom calls. A
+        # TPU-only export keeps them (faster serving); any export that
+        # must run elsewhere traces the portable XLA path instead.
+        import contextlib
+
+        from .ops import fused_grad
+
+        tpu_only = (
+            tuple(p.lower() for p in platforms) == ("tpu",)
+            if platforms is not None
+            else jax.default_backend() == "tpu"
         )
+        ctx = contextlib.nullcontext() if tpu_only else fused_grad(False)
+        with ctx:
+            exported = jax_export.export(jax.jit(serve_fn), **kwargs)(
+                param_specs, batch_specs
+            )
 
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)

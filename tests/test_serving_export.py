@@ -43,6 +43,26 @@ class TestExportRoundtrip:
         empty = served.predict(synthetic_df.iloc[:0])
         assert empty.shape == (0,)
 
+    def test_multi_platform_export_disables_fused_ops(self, tmp_path,
+                                                      xdeepfm_predictor,
+                                                      synthetic_df):
+        """An export that must run beyond TPU must NOT embed Mosaic
+        custom calls even if the exporting host would use the fused
+        Pallas path: force the fused contexts on and assert the cpu+tpu
+        export still lowers and serves (the portability gate in
+        Predictor.export traces the XLA path)."""
+        from recman_tpu.ops import fused_grad
+        from recman_tpu.ops.cin_interact import pallas_cin
+
+        with fused_grad(True), pallas_cin(True):
+            d = xdeepfm_predictor.export(
+                str(tmp_path), synthetic_df, platforms=("cpu", "tpu")
+            )
+        served = ExportedPredictor.load(d)
+        want = xdeepfm_predictor.predict(synthetic_df)
+        got = served.predict(synthetic_df)
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
     def test_padding_path(self, tmp_path, xdeepfm_predictor, synthetic_df):
         """16 rows through a batch-5 artifact: 3 padded calls + trim."""
         d = xdeepfm_predictor.export(str(tmp_path), synthetic_df, batch_size=5)
