@@ -384,10 +384,16 @@ def _segment_matmul_from_sorted(sids, sg, vocab_size: int, tile_v: int = 512,
 
 
 # Vocab-tile rows per grid step of the batched segmat kernel. Sweep
-# history (BASELINE.md round 3): 256 -> 565.6k, 512 -> 606.4k,
-# 1024 -> 615.8k, 2048 -> 617.6k ex/s — grid-step count dominates at the
-# bench config, so fewer/larger tiles win; 2048 shipped.
-SEGMAT_TILE_V = 2048
+# history: round 3 (13.5 ms step): 256 -> 565.6k, 512 -> 606.4k,
+# 1024 -> 615.8k, 2048 -> 617.6k ex/s — fewer/larger tiles won and 2048
+# shipped. ROUND-6 re-sweep at the 8.3 ms step (tools/abab.py
+# base,base+tv1024,base+tv4096 2026-08-21, 3/3 rounds): 1024 ->
+# 1,007.3k vs 2048 -> 992.7k (+1.5%) and 4096 -> 941.0k (-5.2%) — the
+# balance inverted as the surrounding step shrank (the kernel's serial
+# V*CHUNK mask work per tile now outweighs grid-step overhead). Same
+# math either way: per-row accumulation order is unchanged by the tile
+# height (each vocab tile walks the same sorted chunk sequence).
+SEGMAT_TILE_V = 1024
 
 
 def _segment_matmul_from_sorted_batched(sids, sg_t, vocab_size: int,

@@ -17,6 +17,12 @@ default configuration plus zero or more modifiers, joined with '+':
     gspmd           today's GSPMD sharded step on a 1-device mesh
                     (fused_grad(False) — quantifies the gating tax;
                     forces unroll=1: that path has no unrolled form)
+    savefm/nosavefm CHAIN_SAVE_FMAPS on/off (fwd writes fmaps vs bwd
+                    recompute)
+    ctfN / ctbN     chain kernel tile widths (CHAIN_TILE_FWD/BWD)
+    tvN             segmat vocab tile (SEGMAT_TILE_V)
+    bf16m           adam_bf16m optimizer (bf16 first moment —
+                    NUMERICS-SHIFTING: flip needs quality gates)
 
 Examples:
     python tools/abab.py --variants base,base+nochain       # chain ABAB
@@ -64,6 +70,7 @@ def build_variant(name: str, model, optimizer, default_unroll: int):
     cin_chain.CHAIN_TILE_FWD = 1024
     cin_chain.CHAIN_TILE_BWD = 2048
     cin_chain.CHAIN_SAVE_FMAPS = True  # the shipped default (round 6)
+    emb.SEGMAT_TILE_V = 1024
 
     mods = [] if name == "base" else [
         m for m in name.split("+") if m != "base"
@@ -91,6 +98,12 @@ def build_variant(name: str, model, optimizer, default_unroll: int):
             from recman_tpu.ops import cin_chain
 
             cin_chain.CHAIN_SAVE_FMAPS = False
+        elif m == "bf16m":
+            optimizer = __import__(
+                "recman_tpu.training.train_step", fromlist=["create_optimizer"]
+            ).create_optimizer("adam_bf16m", 1e-3)
+        elif m.startswith("tv") and m[2:].isdigit():
+            emb.SEGMAT_TILE_V = int(m[2:])
         elif m.startswith("ctf") and m[3:].isdigit():
             from recman_tpu.ops import cin_chain
 
