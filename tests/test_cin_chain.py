@@ -194,6 +194,35 @@ class TestEligibility:
             cin_mod.CIN_CHAIN_MODE = prev
 
 
+class TestWideEmbedding:
+    def test_d32_geometry(self, rng):
+        """D=32 (t % d and pooling block constraints at a wider
+        embedding): value + grad parity vs batch-major."""
+        F8, D32 = 8, 32
+        units = (8, 6)
+        cin = CIN(field_size=F8, cross_layer_units=units,
+                  activation="leaky_relu", dropout_keep=(1, 1, 1))
+        params = cin.init(rng)
+        x = _x(16, F8, D32, seed=31)  # bd = 512
+        assert chain_supported(F8, units, D32, 16 * D32, "leaky_relu")
+
+        def chain_loss(p):
+            with fused_grad(True), pallas_cin(True):
+                return jnp.mean(cin.apply(p, x, training=False) ** 2)
+
+        def ref_loss(p):
+            with fused_grad(False), pallas_cin(False):
+                return jnp.mean(cin.apply(p, x, training=False) ** 2)
+
+        v1, g1 = jax.value_and_grad(chain_loss)(params)
+        v2, g2 = jax.value_and_grad(ref_loss)(params)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=2e-2)
+        for name in g2:
+            a, b = np.asarray(g1[name]), np.asarray(g2[name])
+            scale = np.abs(b).max() + 1e-6
+            assert np.abs(a - b).max() <= 3e-2 * scale, name
+
+
 class TestBenchGeometry:
     def test_headline_shape_small_batch(self, rng):
         """The bench geometry (H0=26, units (100,100), D=16) at a small
