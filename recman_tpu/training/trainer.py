@@ -72,7 +72,7 @@ class Trainer:
         random_seed=2019,
         eval_in_training_mode=False,
         epoch_in_one_dispatch=False,
-        steps_per_dispatch=1,
+        steps_per_dispatch="auto",
         stacked_tables="auto",
     ):
         hp = hparams or {}
@@ -88,7 +88,18 @@ class Trainer:
         # (make_train_step_unrolled — donated carry aliased through the
         # unrolled chain; bit-identical to the per-step loop). Amortizes
         # per-dispatch host latency: ~0.76 ms/step through this machine's
-        # tunnel, measured in BASELINE.md's dispatch study.
+        # tunnel, measured in BASELINE.md's dispatch study. "auto"
+        # (round-6 default) = the bench-grade 16 on TPU — real Trainer
+        # users get the same dispatch amortization as bench.py — and 1
+        # elsewhere (CPU jobs pay 16x the step-graph compile for little:
+        # dispatch is not their bottleneck). Trajectories are identical
+        # either way (tests/test_training.py bit-parity).
+        if steps_per_dispatch == "auto":
+            import jax as _jax
+
+            steps_per_dispatch = (
+                16 if _jax.default_backend() == "tpu" else 1
+            )
         self.steps_per_dispatch = int(steps_per_dispatch)
         self._train_step_unrolled = None  # built on first use
         # stacked (T, V, k) table storage for the unrolled hot loop
