@@ -289,12 +289,18 @@ def quantize_table_int8(a):
     return q, scale
 
 
-def _adaptive_chunk(n: int, tile_v: int, v_pad: int, cap: int = 512) -> int:
+# Upper bound on the adaptive segmat chunk (sorted rows per kernel step).
+# Module-level so tools/abab.py can sweep it (ccN modifier).
+SEGMAT_CHUNK_CAP = 512
+
+
+def _adaptive_chunk(n: int, tile_v: int, v_pad: int, cap: int | None = None) -> int:
     """Chunk rows per kernel step ≈ 2x the mean rows landing in one vocab
     tile (sized for the segment-matmul kernels; originally derived for
     the deleted fused-Adam path — git history): the kernel's
     total MXU work is ~N·TILE_V + V·CHUNK, so once CHUNK >> mean rows/tile
     the V·CHUNK term dominates pure overhead."""
+    cap = SEGMAT_CHUNK_CAP if cap is None else cap
     mean_rows = max(1, n * tile_v // max(v_pad, 1))
     return max(64, min(cap, -(-2 * mean_rows // 8) * 8))
 

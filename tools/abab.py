@@ -71,6 +71,7 @@ def build_variant(name: str, model, optimizer, default_unroll: int):
     cin_chain.CHAIN_TILE_BWD = 2048
     cin_chain.CHAIN_SAVE_FMAPS = True  # the shipped default (round 6)
     emb.SEGMAT_TILE_V = 1024
+    emb.SEGMAT_CHUNK_CAP = 512
 
     mods = [] if name == "base" else [
         m for m in name.split("+") if m != "base"
@@ -104,6 +105,8 @@ def build_variant(name: str, model, optimizer, default_unroll: int):
             ).create_optimizer("adam_bf16m", 1e-3)
         elif m.startswith("tv") and m[2:].isdigit():
             emb.SEGMAT_TILE_V = int(m[2:])
+        elif m.startswith("cc") and m[2:].isdigit():
+            emb.SEGMAT_CHUNK_CAP = int(m[2:])
         elif m.startswith("ctf") and m[3:].isdigit():
             from recman_tpu.ops import cin_chain
 
