@@ -16,24 +16,28 @@ first half of a non-final fmap feeds the next layer, the rest (all of the
 final fmap) are direct-connect outputs, which sum-pool over the embedding
 dim and project to the logit.
 
-Design:
+Design (the measured round-6 iteration chain is in BASELINE.md):
 - Field-major (fields, B*D) layout throughout, like ops/cin_interact.py —
   the 128-lane axis is B*D (the big dim on lanes; the narrow-minor rule).
-- FORWARD kernel, per B*D tile: rebuild z group-by-group on the VPU and
-  accumulate pre via per-group MXU dots (fori_loop — unrolled loops keep
-  every iteration's values live in Mosaic's scoped-VMEM accounting), apply
-  bias+activation in-register, then pool each direct block with one
-  (F_i, t) @ (t, t/D) dot against a 0/1 pooling matrix built from iota.
-  The ONLY HBM writes are the pooled (F_i, B) outputs: no fmap, no pre,
-  no z ever leaves VMEM.
-- BACKWARD kernel, per tile: RECOMPUTES the forward (classic remat, but
-  inside the kernel where the recompute reads x0 from VMEM), then walks
-  the layers in reverse: gpre = dfmap * act'(fmap); per 128-row group
-  u_g = W_g @ gpre gives the z-cotangent rows consumed immediately for
-  dx0 / dxk / dW (z rebuilt on the fly for dW, exactly like the
-  per-layer backward kernel). dW/db accumulate across the grid.
-- Residuals: x0c and the params ONLY — activation memory is O(B*D*H0)
-  regardless of depth, so the chain subsumes cin_remat for large batches.
+- FORWARD kernel, per B*D tile: fill a shared VMEM z scratch group-by-
+  group on the VPU and contract it in ONE MXU dot per layer (K = G*128 —
+  accumulating per-group K=128 dots instead measured -7% end to end),
+  apply bias+activation in-register, then pool each direct block with
+  one (t, t/D)-poolmat MXU dot (0/1 matrix built from iota) emitting
+  batch-major (t/D, F_i) blocks. Nothing intermediate leaves VMEM except
+  the pooled outputs and — under CHAIN_SAVE_FMAPS, the default — the two
+  fmaps for the backward.
+- BACKWARD kernel, per tile: reads the saved fmaps (default; ABAB +5.8%
+  over recomputing — the 2x 52 MB HBM round trip costs less than the
+  VPU-serial z-fills + layer dots) or RECOMPUTES them in VMEM when
+  CHAIN_SAVE_FMAPS=False, then walks the layers in reverse:
+  gpre = dfmap * act'(fmap); dW = z @ gpre^T as one big dot over the z
+  scratch; per 128-row group u_g = W_g @ gpre gives the z-cotangent rows
+  consumed immediately for dx0 / dxk. dW/db accumulate across the grid.
+- Residuals: x0c, the params, and (save mode) the fmaps. With
+  CHAIN_SAVE_FMAPS=False activation memory is O(B*D*H0) regardless of
+  depth — the remat-style fallback for extreme batches (measured
+  unnecessary through 131,072).
 
 Eligibility (layers/cin.py gates): TPU fused path, activation in
 {identity, relu, leaky_relu} (derivative recoverable from fmap), and all
